@@ -1,0 +1,12 @@
+from .pipelines import (  # noqa: F401
+    FeatureExtractor,
+    LibrosaMelPipeline,
+    LibrosaMFCCPipeline,
+    LogMFEPipeline,
+    MelSpectrogramPipeline,
+    MFCCPipeline,
+    MFEPipeline,
+    Pipeline,
+    SSCPipeline,
+    StreamingExtractor,
+)

@@ -1,0 +1,149 @@
+"""Pipeline objects — the "model families" of a feature-extraction framework.
+
+Stateless pipeline classes wrap the pure functions of
+:mod:`mfcc_rust_tpu.features` with a jitted ``__call__`` (config is closed
+over as the static argument), and :class:`StreamingExtractor` is the
+explicit-state session object that replaces the reference's hidden
+``RefCell`` streaming state (config.rs:126,162; SURVEY §4 bug #5): carry is
+held as an attribute, resettable, and bit-consistent with the batch
+transforms.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import features as F
+from ..config import FeatureConfig, vorbis_config
+from ..ops import stft as _stft
+from ..ops.mel import filterbank_matrix
+
+
+class Pipeline:
+    """Base: jitted pure-function pipeline bound to a config."""
+
+    _fn_name: str = ""
+
+    def __init__(self, cfg: FeatureConfig):
+        self.cfg = cfg
+        self._jit = jax.jit(
+            functools.partial(getattr(F, self._fn_name), cfg=cfg)
+        )
+
+    def __call__(self, signal):
+        return self._jit(signal)
+
+    def lower(self, signal_shape, dtype=None):
+        """AOT-lower for a given input shape (export / inspection)."""
+        dtype = jnp.dtype(self.cfg.dtype) if dtype is None else dtype
+        return self._jit.lower(jax.ShapeDtypeStruct(signal_shape, dtype))
+
+
+class MFCCPipeline(Pipeline):
+    """(..., T) -> (..., F, num_cepstral) (reference mfcc, feature.rs:94-148)."""
+
+    _fn_name = "mfcc"
+
+
+class MFEPipeline(Pipeline):
+    """(..., T) -> ((..., F, M), (..., F)) (feature.rs:200-233)."""
+
+    _fn_name = "mfe"
+
+
+class LogMFEPipeline(Pipeline):
+    _fn_name = "lmfe"
+
+
+class SSCPipeline(Pipeline):
+    _fn_name = "ssc"
+
+
+class MelSpectrogramPipeline(Pipeline):
+    """Reference vorbis-STFT mel spectrogram (feature.rs:151-174)."""
+
+    _fn_name = "mel_spectrogram"
+
+
+class LibrosaMelPipeline(Pipeline):
+    _fn_name = "mel_spectrogram_librosa"
+
+
+class LibrosaMFCCPipeline(Pipeline):
+    _fn_name = "mfcc_librosa"
+
+
+class FeatureExtractor:
+    """Flagship batch extractor: one object, every feature family, shared
+    framing/spectrum work where configs coincide."""
+
+    def __init__(self, cfg: Optional[FeatureConfig] = None, sample_rate: int = 16000):
+        self.cfg = cfg if cfg is not None else FeatureConfig(sample_rate=sample_rate)
+        self.mfcc = MFCCPipeline(self.cfg)
+        self.mfe = MFEPipeline(self.cfg)
+        self.lmfe = LogMFEPipeline(self.cfg)
+        self.ssc = SSCPipeline(self.cfg)
+        self.mel_spectrogram = MelSpectrogramPipeline(
+            self.cfg.replace(window="vorbis")
+        )
+
+    def __call__(self, signal):
+        return self.mfcc(signal)
+
+
+class StreamingExtractor:
+    """Explicit-carry streaming mel/power extraction session.
+
+    Functional replacement for the reference's stateful
+    ``frame_analysis``/``analysis_mem`` path (functions.rs:125-170): feed
+    chunks whose lengths are multiples of the hop; per-session warm-up
+    dropping reproduces the batch ``n_pad`` layout, and ``finalize()`` emits
+    the trailing ``n_pad`` zero frames so that the concatenation over a whole
+    session equals the batch transform exactly (a property the reference
+    lacks — its state leaks across calls and is never reset)."""
+
+    def __init__(self, cfg: Optional[FeatureConfig] = None, sample_rate: int = 16000,
+                 mel: bool = True):
+        cfg = cfg if cfg is not None else vorbis_config(sample_rate)
+        if cfg.window != "vorbis":
+            cfg = cfg.replace(window="vorbis")
+        self.cfg = cfg
+        self.mel = mel
+        self._stream = jax.jit(functools.partial(_stft.stft_streaming, cfg=cfg))
+        self.reset()
+
+    def reset(self) -> None:
+        self._carry = _stft.streaming_init(self.cfg)
+        self._to_drop = self.cfg.stream_n_pad
+
+    def process(self, chunk) -> np.ndarray:
+        """Feed (T,) samples (T % hop == 0); returns the newly available
+        frames — (new_frames, num_filters) mel energies (or power bins when
+        ``mel=False``)."""
+        chunk = jnp.asarray(chunk, dtype=self.cfg.dtype)
+        self._carry, power = self._stream(chunk, carry=self._carry)
+        out = np.asarray(self._project(power))
+        if self._to_drop:
+            k = min(self._to_drop, out.shape[0])
+            out = out[k:]
+            self._to_drop -= k
+        return out
+
+    def finalize(self) -> np.ndarray:
+        """End the session: the reference's output layout carries ``n_pad``
+        never-written zero rows at the tail (functions.rs:121,231)."""
+        n_pad = self.cfg.stream_n_pad
+        width = self.cfg.num_filters if self.mel else self.cfg.freq_size
+        self.reset()
+        return np.zeros((n_pad, width), dtype=self.cfg.dtype)
+
+    def _project(self, power: jnp.ndarray) -> jnp.ndarray:
+        if not self.mel:
+            return power
+        fb = filterbank_matrix(self.cfg, power.dtype)
+        return jnp.matmul(power, fb.T, precision="highest")

@@ -1,0 +1,4 @@
+from . import data, halo, mesh, stats  # noqa: F401
+from .data import extraction_step  # noqa: F401
+from .mesh import DATA_AXIS, SEQ_AXIS, data_sharding, make_mesh  # noqa: F401
+from .stats import CorpusMoments, local_moments, psum_moments, tree_merge  # noqa: F401

@@ -1,0 +1,119 @@
+"""Data-parallel (+ optional sequence-parallel) feature extraction.
+
+The multi-chip "training step" of this framework: a ``shard_map`` over a
+(data, seq) mesh that extracts features for a sharded batch of utterances
+and all-reduces masked corpus CMVN moments with ``psum`` — the distributed
+generalization of the reference's single-matrix ``cmvn``
+(processing.rs:265-300) per SURVEY §2's parallelism ledger.
+
+* batch axis sharded over ``data`` (utterances are independent),
+* time axis optionally sharded over ``seq`` with a ``frame_len - hop`` halo
+  exchange (:mod:`mfcc_rust_tpu.parallel.halo`),
+* filterbank/DCT matrices are trace-time constants, replicated on every chip,
+* per-utterance ragged lengths handled by frame-validity masks so moments
+  exactly match unpadded statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax>=0.4.35 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..config import FeatureConfig
+from ..ops.dct import dct2_ortho
+from ..ops.mel import apply_filterbank
+from ..ops.spectrum import zero_handling
+from . import halo
+from .mesh import DATA_AXIS, SEQ_AXIS
+from .stats import CorpusMoments, local_moments, psum_moments
+
+
+def _local_features(
+    signals: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FeatureConfig,
+    feature: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray, CorpusMoments]:
+    """Per-shard body: (Bl, Tl) signals + (Bl,) lengths -> (feats, mask,
+    psum'd moments).  Runs inside shard_map."""
+    hop = cfg.frame_step
+    power = halo.sharded_power_spectrum(signals, cfg, SEQ_AXIS)  # (Bl, Fl, K)
+    n_local = power.shape[-2]
+    seq_idx = jax.lax.axis_index(SEQ_AXIS)
+    gidx = seq_idx * n_local + jnp.arange(n_local)  # global frame index
+    # speechpy zero_padding=False frame count: floor((L - frame_len) / hop)
+    # (processing.rs:101-103)
+    n_valid = jnp.floor((lengths - cfg.frame_size) / hop).astype(jnp.int32)
+    mask = gidx[None, :] < n_valid[:, None]  # (Bl, Fl)
+
+    if feature in ("mfcc", "lmfe", "mfe"):
+        energies = zero_handling(jnp.sum(power, axis=-1))
+        feats = apply_filterbank(power, cfg, handle_zeros=True)
+        if feature == "mfcc":
+            feats = dct2_ortho(jnp.log(feats), cfg)
+            if cfg.dc_elimination:
+                feats = feats.at[..., 0].set(jnp.log(energies))
+        elif feature == "lmfe":
+            feats = jnp.log(feats)
+    else:
+        raise ValueError(f"unknown feature {feature!r}")
+
+    moments = psum_moments(
+        local_moments(feats, mask.astype(feats.dtype)), (DATA_AXIS, SEQ_AXIS)
+    )
+    return feats, mask, moments
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _extraction_step_impl(signals, lengths, cfg, feature, mesh):
+    mapped = shard_map(
+        functools.partial(_local_features, cfg=cfg, feature=feature),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, SEQ_AXIS),
+                   CorpusMoments(P(), P(), P())),
+    )
+    return mapped(signals, lengths)
+
+
+def extraction_step(
+    signals: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FeatureConfig,
+    mesh: Mesh,
+    feature: str = "mfcc",
+) -> Tuple[jnp.ndarray, jnp.ndarray, CorpusMoments]:
+    """Sharded batch extraction + global masked moments.
+
+    signals: (B, T) with B % mesh['data'] == 0 and
+    T % (mesh['seq'] * hop) == 0; lengths: (B,) true sample counts.
+    Returns (features (B, T//hop, D), mask (B, T//hop), CorpusMoments).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_seq = mesh.shape[SEQ_AXIS]
+    b, t = signals.shape
+    hop = cfg.frame_step
+    if b % n_data:
+        raise ValueError(f"batch {b} not divisible by data axis {n_data}")
+    if t % (n_seq * hop):
+        raise ValueError(
+            f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
+        )
+    if cfg.frame_size % hop:
+        raise ValueError(
+            "sequence-parallel framing requires frame_size % frame_step == 0"
+        )
+    signals = jax.device_put(signals, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)))
+    lengths = jax.device_put(
+        jnp.asarray(lengths, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
+    )
+    return _extraction_step_impl(signals, lengths, cfg, feature, mesh)

@@ -1,0 +1,190 @@
+"""Golden parity: JAX pipelines vs the float64 speechpy oracle
+(tests/golden/speechpy_ref.py), in both float64 (exact) and float32
+(toleranced) — plus jit-vs-eager and batch-broadcast equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mfcc_rust_tpu as m
+from mfcc_rust_tpu import features as F
+from tests.golden import speechpy_ref as sp
+
+
+@pytest.fixture(scope="module")
+def sig(rng):
+    return rng.normal(0, 0.1, 16000)
+
+
+CFG64 = m.speechpy_config(16000).replace(dtype="float64")
+CFG32 = m.speechpy_config(16000)
+
+
+class TestFloat64Exact:
+    def test_mfcc(self, sig):
+        gold = sp.mfcc(sig, 16000)
+        ours = np.asarray(F.mfcc(jnp.asarray(sig), CFG64))
+        assert ours.shape == gold.shape == (98, 13)
+        np.testing.assert_allclose(ours, gold, rtol=1e-9, atol=1e-11)
+
+    def test_mfe(self, sig):
+        gf, ge = sp.mfe(sig, 16000)
+        of, oe = F.mfe(jnp.asarray(sig), CFG64)
+        np.testing.assert_allclose(np.asarray(of), gf, rtol=1e-9, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(oe), ge, rtol=1e-9, atol=1e-13)
+
+    def test_lmfe(self, sig):
+        np.testing.assert_allclose(
+            np.asarray(F.lmfe(jnp.asarray(sig), CFG64)),
+            sp.lmfe(sig, 16000),
+            rtol=1e-9, atol=1e-11,
+        )
+
+    def test_ssc(self, sig):
+        np.testing.assert_allclose(
+            np.asarray(F.ssc(jnp.asarray(sig), CFG64)),
+            sp.ssc(sig, 16000),
+            rtol=1e-7, atol=1e-7,
+        )
+
+    def test_mfcc_no_dc_elimination(self, sig):
+        cfg = CFG64.replace(dc_elimination=False)
+        gold = sp.mfcc(sig, 16000, dc_elimination=False)
+        np.testing.assert_allclose(
+            np.asarray(F.mfcc(jnp.asarray(sig), cfg)), gold, rtol=1e-9, atol=1e-11
+        )
+
+    def test_nondefault_params(self, sig):
+        kw = dict(frame_length=0.025, frame_stride=0.012, num_filters=26,
+                  fft_length=1024, low_frequency=100.0, high_frequency=6000.0)
+        gold = sp.mfcc(sig, 16000, kw["frame_length"], kw["frame_stride"], 13,
+                       kw["num_filters"], kw["fft_length"], kw["low_frequency"],
+                       kw["high_frequency"])
+        cfg = CFG64.replace(
+            frame_length=0.025, frame_stride=0.012, num_filters=26,
+            fft_points=1024, low_frequency=100.0, high_frequency=6000.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(F.mfcc(jnp.asarray(sig), cfg)), gold, rtol=1e-9, atol=1e-11
+        )
+
+    def test_fft_impl_equivalence(self, sig):
+        a = np.asarray(F.mfcc(jnp.asarray(sig), CFG64.replace(fft_impl="matmul")))
+        b = np.asarray(F.mfcc(jnp.asarray(sig), CFG64.replace(fft_impl="fft")))
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
+
+
+class TestFloat32:
+    def test_mfcc_close_to_f64_gold(self, sig):
+        gold = sp.mfcc(sig, 16000)
+        ours = np.asarray(F.mfcc(jnp.asarray(sig, jnp.float32), CFG32))
+        assert ours.dtype == np.float32
+        np.testing.assert_allclose(ours, gold, rtol=2e-3, atol=2e-3)
+
+    def test_no_nans(self, sig):
+        out = np.asarray(F.mfcc(jnp.asarray(sig, jnp.float32), CFG32))
+        assert np.isfinite(out).all()
+
+
+class TestJitAndBatch:
+    def test_jit_matches_eager(self, sig):
+        jitted = jax.jit(F.mfcc, static_argnums=1)
+        np.testing.assert_allclose(
+            np.asarray(jitted(jnp.asarray(sig), CFG64)),
+            np.asarray(F.mfcc(jnp.asarray(sig), CFG64)),
+            rtol=1e-12, atol=1e-12,
+        )
+
+    def test_batch_broadcast(self, rng):
+        batch = rng.normal(0, 0.1, (4, 8000))
+        out = np.asarray(F.mfcc(jnp.asarray(batch), CFG64))
+        assert out.shape[0] == 4
+        for i in range(4):
+            np.testing.assert_allclose(
+                out[i], sp.mfcc(batch[i], 16000), rtol=1e-9, atol=1e-11
+            )
+
+    def test_vmap_matches_broadcast(self, rng):
+        batch = jnp.asarray(rng.normal(0, 0.1, (3, 8000)))
+        a = np.asarray(F.vmapped(F.mfcc)(batch, CFG64))
+        b = np.asarray(F.mfcc(batch, CFG64))
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+class TestProcessingOps:
+    def test_preemphasis(self, sig):
+        np.testing.assert_allclose(
+            np.asarray(m.ops.preemphasis(jnp.asarray(sig))),
+            sp.preemphasis(sig),
+            rtol=1e-12, atol=1e-14,
+        )
+
+    def test_stack_frames_values(self, sig):
+        frames = np.asarray(
+            m.ops.stack_frames(jnp.asarray(sig), 16000, 0.02, 0.01, zero_padding=False)
+        )
+        gold = sp.stack_frames(sig, 16000, 0.02, 0.01, zero_padding=False)
+        np.testing.assert_allclose(frames, gold, rtol=0, atol=0)
+
+    def test_stack_frames_zero_padding(self, sig):
+        frames = np.asarray(
+            m.ops.stack_frames(jnp.asarray(sig[:15975]), 16000, 0.02, 0.01, zero_padding=True)
+        )
+        gold = sp.stack_frames(sig[:15975], 16000, 0.02, 0.01, zero_padding=True)
+        np.testing.assert_allclose(frames, gold, rtol=0, atol=0)
+
+    def test_log_power_spectrum(self, sig):
+        frames = sp.stack_frames(sig, 16000, 0.02, 0.01, zero_padding=False)
+        np.testing.assert_allclose(
+            np.asarray(m.ops.log_power_spectrum(jnp.asarray(frames), CFG64)),
+            sp.log_power_spectrum(frames),
+            rtol=1e-9, atol=1e-9,
+        )
+
+    def test_cmvn(self, rng):
+        feat = rng.normal(2.0, 1.5, (300, 13))
+        for var in [False, True]:
+            np.testing.assert_allclose(
+                np.asarray(m.ops.cmvn(jnp.asarray(feat), var)),
+                sp.cmvn(feat, var),
+                rtol=1e-9, atol=1e-11,
+            )
+        out = np.asarray(m.ops.cmvn(jnp.asarray(feat), True))
+        assert abs(out.mean(axis=0)).max() < 1e-8 and abs(out.std(axis=0) - 1).max() < 1e-6
+
+    @pytest.mark.parametrize("win", [31, 301])
+    @pytest.mark.parametrize("var", [False, True])
+    def test_cmvnw(self, rng, win, var):
+        feat = rng.normal(2.0, 1.5, (300, 13))
+        np.testing.assert_allclose(
+            np.asarray(m.ops.cmvnw(jnp.asarray(feat), win, var)),
+            sp.cmvnw(feat, win, var),
+            rtol=1e-8, atol=1e-9,
+        )
+
+    def test_cmvnw_odd_assert(self, rng):
+        with pytest.raises(ValueError):
+            m.ops.cmvnw(jnp.zeros((10, 3)), 4)
+
+    def test_derivative_extraction(self, rng):
+        feat = rng.normal(size=(50, 13))
+        np.testing.assert_allclose(
+            np.asarray(m.ops.derivative_extraction(jnp.asarray(feat))),
+            sp.derivative_extraction(feat),
+            rtol=1e-10, atol=1e-12,
+        )
+
+    def test_feature_cube(self, rng):
+        feat = rng.normal(size=(50, 13))
+        cube = np.asarray(m.ops.extract_derivative_feature(jnp.asarray(feat)))
+        assert cube.shape == (50, 13, 3)
+        np.testing.assert_allclose(
+            cube, sp.extract_derivative_feature(feat), rtol=1e-10, atol=1e-12
+        )
+
+    def test_zero_handling(self):
+        x = jnp.asarray([0.0, 1.0, -2.0, 0.0])
+        out = np.asarray(m.ops.zero_handling(x))
+        assert out[0] == np.float32(np.finfo(np.float32).eps)
+        assert out[1] == 1.0 and out[2] == -2.0
