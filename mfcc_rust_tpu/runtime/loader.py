@@ -1,0 +1,71 @@
+"""Threaded prefetching corpus loader (native C++ backend, Python fallback)."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .build import load_native
+from .wav import read_wav
+
+
+class AudioLoader:
+    """Iterate decoded utterances ``(index, float32 samples, sample_rate)``
+    in worker-arrival order, decoding ``n_threads`` files ahead of the
+    consumer.  The native backend keeps host CPUs saturated while the device
+    computes; the fallback decodes inline."""
+
+    def __init__(
+        self,
+        paths: List[str],
+        n_threads: int = 4,
+        capacity: int = 16,
+        mix_mono: bool = True,
+        max_seconds: float = 40.0,
+        max_sample_rate: int = 48000,
+    ):
+        self.paths = [str(p) for p in paths]
+        self.n_threads = n_threads
+        self.capacity = capacity
+        self.mix_mono = mix_mono
+        self.max_frames = int(max_seconds * max_sample_rate)
+        self._lib = load_native()
+
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray, int]]:
+        if self._lib is None:
+            yield from self._iter_fallback()
+            return
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths]
+        )
+        handle = self._lib.loader_create(
+            arr, len(self.paths), self.n_threads, self.capacity,
+            1 if self.mix_mono else 0, self.max_frames,
+        )
+        buf = np.empty(self.max_frames, dtype=np.float32)
+        idx = ctypes.c_int()
+        frames = ctypes.c_uint32()
+        sr = ctypes.c_uint32()
+        try:
+            while True:
+                rc = self._lib.loader_next(
+                    handle, ctypes.byref(idx),
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    self.max_frames, ctypes.byref(frames), ctypes.byref(sr),
+                )
+                if rc == 1:
+                    return
+                if rc < 0:
+                    raise IOError(
+                        f"decode failed for {self.paths[idx.value]} (code {rc})"
+                    )
+                yield idx.value, buf[: frames.value].copy(), sr.value
+        finally:
+            self._lib.loader_destroy(handle)
+
+    def _iter_fallback(self) -> Iterator[Tuple[int, np.ndarray, int]]:
+        for i, p in enumerate(self.paths):
+            samples, sr = read_wav(p, self.mix_mono, self.max_frames)
+            yield i, samples, sr

@@ -1,0 +1,141 @@
+// Multi-threaded prefetching audio loader.
+//
+// Feeds the TPU extraction pipeline: N worker threads read+decode WAV files
+// into a bounded queue; the Python consumer pops decoded float32 buffers.
+// This is the native data-path component the reference leaves to its host
+// application — here it keeps host CPUs decoding ahead of device compute so
+// the accelerator never stalls on I/O.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+int wav_read_f32(const char* path, float* out, uint32_t max_frames,
+                 int mix_mono);
+struct WavInfo {
+  uint32_t sample_rate;
+  uint16_t channels;
+  uint16_t bits_per_sample;
+  uint32_t frames;
+  uint16_t format;
+};
+int wav_probe(const char* path, WavInfo* info);
+}
+
+namespace {
+
+struct Item {
+  int index;                 // position in the input path list
+  int frames;                // decoded frames (or negative error code)
+  uint32_t sample_rate;
+  std::vector<float> data;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  uint32_t max_frames;
+  int mix_mono;
+  size_t capacity;
+
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<Item> queue;
+  std::atomic<size_t> next_path{0};
+  size_t emitted = 0;   // items popped by the consumer
+  size_t produced = 0;  // items pushed by workers
+  bool stopping = false;
+  std::vector<std::thread> workers;
+
+  void worker() {
+    for (;;) {
+      size_t i = next_path.fetch_add(1);
+      if (i >= paths.size()) return;
+      Item it;
+      it.index = (int)i;
+      it.data.resize(max_frames);
+      WavInfo info{};
+      int prc = wav_probe(paths[i].c_str(), &info);
+      it.sample_rate = prc == 0 ? info.sample_rate : 0;
+      it.frames = wav_read_f32(paths[i].c_str(), it.data.data(), max_frames,
+                               mix_mono);
+      if (it.frames > 0) it.data.resize((size_t)it.frames);
+      std::unique_lock<std::mutex> lk(mu);
+      cv_push.wait(lk, [&] { return queue.size() < capacity || stopping; });
+      if (stopping) return;
+      queue.push_back(std::move(it));
+      produced++;
+      cv_pop.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* loader_create(const char** paths, int n_paths, int n_threads,
+                    int capacity, int mix_mono, uint32_t max_frames) {
+  auto* ld = new Loader();
+  ld->paths.reserve(n_paths);
+  for (int i = 0; i < n_paths; i++) ld->paths.emplace_back(paths[i]);
+  ld->max_frames = max_frames;
+  ld->mix_mono = mix_mono;
+  ld->capacity = capacity > 0 ? (size_t)capacity : 8;
+  int nt = n_threads > 0 ? n_threads : 4;
+  if (nt > n_paths && n_paths > 0) nt = n_paths;
+  for (int t = 0; t < nt; t++)
+    ld->workers.emplace_back([ld] { ld->worker(); });
+  return ld;
+}
+
+// Pops the next decoded item (arrival order, not path order).  Returns:
+//   0  item copied (index_out, frames_out, sr_out set; data into buf)
+//   1  exhausted (all paths consumed)
+//  <0  decode error for the item at index_out (frames_out = error code)
+int loader_next(void* handle, int* index_out, float* buf, uint32_t buf_frames,
+                uint32_t* frames_out, uint32_t* sr_out) {
+  auto* ld = (Loader*)handle;
+  std::unique_lock<std::mutex> lk(ld->mu);
+  ld->cv_pop.wait(lk, [&] {
+    return !ld->queue.empty() || ld->emitted + ld->queue.size() >= ld->paths.size();
+  });
+  if (ld->queue.empty()) return 1;
+  Item it = std::move(ld->queue.front());
+  ld->queue.pop_front();
+  ld->emitted++;
+  ld->cv_push.notify_one();
+  lk.unlock();
+
+  *index_out = it.index;
+  *sr_out = it.sample_rate;
+  if (it.frames < 0) {
+    *frames_out = (uint32_t)(-it.frames);
+    return it.frames;
+  }
+  uint32_t n = (uint32_t)it.frames < buf_frames ? (uint32_t)it.frames : buf_frames;
+  memcpy(buf, it.data.data(), (size_t)n * sizeof(float));
+  *frames_out = n;
+  return 0;
+}
+
+void loader_destroy(void* handle) {
+  auto* ld = (Loader*)handle;
+  {
+    std::lock_guard<std::mutex> lk(ld->mu);
+    ld->stopping = true;
+    ld->next_path.store(ld->paths.size());
+  }
+  ld->cv_push.notify_all();
+  ld->cv_pop.notify_all();
+  for (auto& t : ld->workers) t.join();
+  delete ld;
+}
+
+}  // extern "C"
