@@ -1,0 +1,228 @@
+"""Corpus extraction runner: streaming multi-host feature extraction with
+checkpoint/resume and corpus CMVN.
+
+The reference has no batch/corpus tooling at all (SURVEY §5: no checkpoint,
+no recovery, no metrics).  This runner provides the BASELINE.json config-5
+workload: iterate a corpus of WAV files through the native prefetch loader,
+length-bucket into static-shape batches, extract on the device mesh, write
+per-utterance outputs idempotently, accumulate corpus CMVN moments, and
+checkpoint (done-mask + moments) so a killed job resumes without recompute.
+
+Multi-host: each host runs a runner over its slice of the file list
+(``paths[process_index::process_count]``); per-batch moments are already
+psum'd across the mesh by ``extraction_step``; host-local running moments are
+checkpointed and merged deterministically with
+:func:`mfcc_rust_tpu.parallel.stats.tree_merge` (fixed association order).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..config import FeatureConfig
+from ..ops.framing import speechpy_frame_counts
+from ..utils.bucketing import bucket_length
+from ..utils.profiling import Meter
+from .data import extraction_step
+from .mesh import DATA_AXIS, SEQ_AXIS, make_mesh
+from .stats import CorpusMoments, tree_merge
+
+
+class CheckpointStore:
+    """npz checkpoint: done mask + running moments + config fingerprint."""
+
+    def __init__(self, path: str, n_paths: int, cfg: FeatureConfig, dim: int):
+        self.path = Path(path)
+        self.n_paths = n_paths
+        self.fingerprint = f"{hash(cfg) & 0xFFFFFFFF:x}:{n_paths}:{dim}"
+        self.done = np.zeros(n_paths, dtype=bool)
+        self.moments = CorpusMoments.zeros(dim)
+        if self.path.exists():
+            self._load()
+
+    def _load(self) -> None:
+        z = np.load(self.path, allow_pickle=False)
+        if str(z["fingerprint"]) != self.fingerprint:
+            raise ValueError(
+                f"checkpoint {self.path} was written for a different "
+                f"config/corpus ({z['fingerprint']} != {self.fingerprint})"
+            )
+        self.done = z["done"]
+        self.moments = CorpusMoments(
+            jax.numpy.asarray(z["total"]),
+            jax.numpy.asarray(z["total_sq"]),
+            jax.numpy.asarray(z["count"]),
+        )
+
+    def save(self) -> None:
+        tmp = self.path.with_suffix(".tmp.npz")
+        np.savez(
+            tmp,
+            fingerprint=self.fingerprint,
+            done=self.done,
+            total=np.asarray(self.moments.total),
+            total_sq=np.asarray(self.moments.total_sq),
+            count=np.asarray(self.moments.count),
+        )
+        os.replace(tmp, self.path)
+
+    def mark(self, indices: Sequence[int], moments: CorpusMoments) -> None:
+        self.done[list(indices)] = True
+        self.moments = self.moments.merge(moments)
+
+
+def merge_checkpoints(paths: Sequence[str], dim: int) -> CorpusMoments:
+    """Deterministic cross-host merge of per-host checkpoint moments."""
+    parts = []
+    for p in sorted(paths):
+        z = np.load(p, allow_pickle=False)
+        parts.append(
+            CorpusMoments(
+                jax.numpy.asarray(z["total"]),
+                jax.numpy.asarray(z["total_sq"]),
+                jax.numpy.asarray(z["count"]),
+            )
+        )
+    return tree_merge(parts)
+
+
+class CorpusRunner:
+    """Extract features for a corpus of WAV files on a device mesh."""
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        cfg: Optional[FeatureConfig] = None,
+        mesh=None,
+        feature: str = "mfcc",
+        batch_size: int = 32,
+        out_dir: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 8,
+        process_index: int = 0,
+        process_count: int = 1,
+        n_io_threads: int = 4,
+        on_batch: Optional[Callable[[dict], None]] = None,
+    ):
+        self.all_paths = [str(p) for p in paths]
+        # host shard of the corpus
+        self.indices = list(range(process_index, len(self.all_paths), process_count))
+        self.cfg = cfg if cfg is not None else FeatureConfig(sample_rate=16000)
+        self.mesh = mesh if mesh is not None else make_mesh(n_seq=1)
+        self.feature = feature
+        self.batch_size = batch_size
+        self.out_dir = Path(out_dir) if out_dir else None
+        if self.out_dir:
+            self.out_dir.mkdir(parents=True, exist_ok=True)
+        dim = self.cfg.num_cepstral if feature == "mfcc" else self.cfg.num_filters
+        self.dim = dim
+        self.store = (
+            CheckpointStore(checkpoint_path, len(self.all_paths), self.cfg, dim)
+            if checkpoint_path
+            else None
+        )
+        self.checkpoint_every = checkpoint_every
+        self.n_io_threads = n_io_threads
+        self.meter = Meter()
+        self.on_batch = on_batch
+
+    # ------------------------------------------------------------------ run --
+    def run(self) -> CorpusMoments:
+        from ..runtime import AudioLoader
+
+        todo = [
+            i for i in self.indices
+            if not (self.store is not None and self.store.done[i])
+        ]
+        moments = (
+            self.store.moments if self.store is not None
+            else CorpusMoments.zeros(self.dim)
+        )
+        if not todo:
+            return moments
+
+        n_data = self.mesh.shape[DATA_AXIS]
+        n_seq = self.mesh.shape[SEQ_AXIS]
+        hop = self.cfg.frame_step
+        align = n_seq * hop
+
+        loader = AudioLoader(
+            [self.all_paths[i] for i in todo], n_threads=self.n_io_threads
+        )
+        pending: List[Tuple[int, np.ndarray]] = []
+        batches_since_ckpt = 0
+
+        def flush(batch: List[Tuple[int, np.ndarray]]):
+            nonlocal moments, batches_since_ckpt
+            ids = [todo[j] for j, _ in batch]
+            lengths = np.array([len(s) for _, s in batch], dtype=np.int64)
+            bucket = bucket_length(int(lengths.max()))
+            bucket = ((bucket + align - 1) // align) * align
+            b = len(batch)
+            b_pad = ((b + n_data - 1) // n_data) * n_data
+            sig = np.zeros((b_pad, bucket), dtype=self.cfg.dtype)
+            for r, (_, s) in enumerate(batch):
+                sig[r, : len(s)] = s
+            lens = np.zeros(b_pad, dtype=np.int64)
+            lens[:b] = lengths
+            audio_sec = float(lengths.sum()) / self.cfg.sample_rate
+            with self.meter.measure(audio_sec):
+                feats, mask, batch_moments = extraction_step(
+                    sig, lens, self.cfg, self.mesh, self.feature
+                )
+                feats = np.asarray(feats)
+                mask = np.asarray(mask)
+            moments = moments.merge(batch_moments)
+            if self.out_dir:
+                for r, utt_id in enumerate(ids):
+                    out_path = self.out_dir / f"{Path(self.all_paths[utt_id]).stem}.npy"
+                    if out_path.exists():
+                        continue  # idempotent restart-safe output
+                    n_valid = int(mask[r].sum())
+                    tmp = out_path.with_suffix(".tmp.npy")
+                    np.save(tmp, feats[r, :n_valid])
+                    os.replace(tmp, out_path)
+            if self.store is not None:
+                self.store.mark(ids, batch_moments)
+                batches_since_ckpt += 1
+                if batches_since_ckpt >= self.checkpoint_every:
+                    self.store.save()
+                    batches_since_ckpt = 0
+            if self.on_batch:
+                self.on_batch(
+                    {"utts": len(ids), "audio_seconds": audio_sec,
+                     "throughput": self.meter.throughput}
+                )
+
+        for j, samples, sr in loader:
+            if sr != self.cfg.sample_rate:
+                raise ValueError(
+                    f"{self.all_paths[todo[j]]}: sample rate {sr} != config "
+                    f"{self.cfg.sample_rate}"
+                )
+            # drop utterances too short to produce one frame (reference
+            # yields an empty matrix for these, feature.rs:102-104)
+            num, _ = speechpy_frame_counts(
+                len(samples), self.cfg.frame_size, hop, zero_padding=False
+            )
+            if num <= 0:
+                if self.store is not None:
+                    self.store.done[todo[j]] = True
+                continue
+            pending.append((j, samples))
+            if len(pending) >= self.batch_size:
+                flush(pending)
+                pending = []
+        if pending:
+            flush(pending)
+        if self.store is not None:
+            self.store.moments = moments
+            self.store.save()
+        return moments

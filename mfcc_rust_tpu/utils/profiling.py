@@ -1,0 +1,124 @@
+"""Profiling & observability.
+
+The reference has none of this (SURVEY §5: no timers, no instrumentation,
+benchmarking punted to an external repo).  Here: named-scope wall timers with
+audio-seconds throughput accounting, a jax.profiler trace context for XLA/TPU
+timelines, and a static roofline model for the feature pipelines (FLOPs and
+HBM bytes per audio-second) to judge kernels against speed-of-light.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from ..config import FeatureConfig
+
+
+@dataclass
+class Meter:
+    """Accumulating throughput meter: audio-seconds per wall second."""
+
+    audio_seconds: float = 0.0
+    wall_seconds: float = 0.0
+    batches: int = 0
+    scopes: Dict[str, float] = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def measure(self, audio_seconds: float, scope: str = "extract"):
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        self.audio_seconds += audio_seconds
+        self.wall_seconds += dt
+        self.batches += 1
+        self.scopes[scope] = self.scopes.get(scope, 0.0) + dt
+
+    @property
+    def throughput(self) -> float:
+        return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
+
+    def report(self) -> dict:
+        return {
+            "audio_seconds": round(self.audio_seconds, 3),
+            "wall_seconds": round(self.wall_seconds, 4),
+            "audio_seconds_per_sec": round(self.throughput, 1),
+            "batches": self.batches,
+            "scopes": {k: round(v, 4) for k, v in self.scopes.items()},
+        }
+
+    def __str__(self) -> str:
+        return json.dumps(self.report())
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/mfcc_tpu_trace"):
+    """jax.profiler trace context — open the dir with TensorBoard/xprof."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named profiler scope decorator/context for pipeline stages."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+# ------------------------------------------------------------------ roofline --
+def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
+    """Static per-audio-second cost model for the matmul-lowered pipeline:
+    FLOPs, minimal HBM bytes, and the arithmetic intensity that determines
+    whether the kernel is MXU- or bandwidth-bound on a given chip."""
+    sr = cfg.sample_rate
+    hop = cfg.frame_step
+    frames_per_sec = sr / hop
+    k = cfg.freq_size
+    fl = min(cfg.frame_size, cfg.fft_points)
+    m = cfg.num_filters
+    c = cfg.num_cepstral
+
+    dft = 2 * fl * k * 2  # cos+sin GEMMs
+    power = 3 * k
+    mel = 2 * k * m
+    log_dct = m + 2 * m * c
+    per_frame = dft + power + mel + (log_dct if feature == "mfcc" else m)
+    flops_per_as = per_frame * frames_per_sec
+
+    bytes_in = sr * 4  # signal read once (fused framing)
+    bytes_out = frames_per_sec * (c if feature == "mfcc" else m) * 4
+    bytes_frames = frames_per_sec * fl * 4 * 2  # unfused: materialized frames r+w
+    bytes_power = frames_per_sec * k * 4 * 2  # unfused: power spectrum r+w
+
+    return {
+        "flops_per_audio_second": flops_per_as,
+        "min_hbm_bytes_per_audio_second": bytes_in + bytes_out,
+        "unfused_hbm_bytes_per_audio_second": bytes_in + bytes_out + bytes_frames + bytes_power,
+        "arithmetic_intensity_fused": flops_per_as / (bytes_in + bytes_out),
+        "frames_per_audio_second": frames_per_sec,
+    }
+
+
+def speed_of_light(cfg: FeatureConfig, feature: str = "mfcc",
+                   peak_flops: float = 394e12 / 6.0,
+                   hbm_bw: float = 819e9) -> dict:
+    """Audio-seconds/s bound by compute vs bandwidth (defaults: v5e bf16 peak
+    de-rated 6x for float32 'highest' precision, 819 GB/s HBM)."""
+    costs = pipeline_costs(cfg, feature)
+    compute_bound = peak_flops / costs["flops_per_audio_second"]
+    bw_bound_fused = hbm_bw / costs["min_hbm_bytes_per_audio_second"]
+    bw_bound_unfused = hbm_bw / costs["unfused_hbm_bytes_per_audio_second"]
+    return {
+        "compute_bound_audio_s_per_s": compute_bound,
+        "bandwidth_bound_fused_audio_s_per_s": bw_bound_fused,
+        "bandwidth_bound_unfused_audio_s_per_s": bw_bound_unfused,
+        "speed_of_light_audio_s_per_s": min(compute_bound, bw_bound_fused),
+    }
