@@ -25,29 +25,34 @@ def main():
     from mfcc_rust_tpu import FeatureConfig, features
 
     cfg = FeatureConfig(sample_rate=16000)
-    batch, seconds, k_batches = 64, 10, 16
+    batch, seconds = 64, 10
+    k1, k2 = 4, 16
     t = seconds * cfg.sample_rate
     rng = np.random.default_rng(0)
-    # K distinct batches scanned in ONE device call: amortizes host/tunnel
-    # dispatch latency and (being distinct data) defeats any CSE/caching, so
-    # the measurement is true device throughput.  A scalar is pulled to host
-    # per call to force completion (block_until_ready alone is not a reliable
-    # completion barrier through the remote-execution tunnel).
-    xs = jnp.asarray(rng.normal(0, 0.1, (k_batches, batch, t)).astype(np.float32))
 
-    def body(c, x):
-        return c + features.mfcc(x, cfg).sum(), None
+    # Methodology: K distinct batches scanned in ONE device call (distinct
+    # data defeats CSE/caching), a host scalar read as the completion barrier
+    # (block_until_ready is not reliable through the remote-execution
+    # tunnel), and a two-point SLOPE over K to cancel the fixed ~25 ms
+    # per-call dispatch overhead — the slope is pure device time per batch.
+    def timed(k):
+        xs = jnp.asarray(rng.normal(0, 0.1, (k, batch, t)).astype(np.float32))
+        fn = jax.jit(
+            lambda xs: lax.scan(
+                lambda c, x: (c + features.mfcc(x, cfg).sum(), None),
+                jnp.float32(0), xs,
+            )[0]
+        )
+        float(fn(xs))  # compile + warm
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(fn(xs))  # host scalar read == hard completion barrier
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    fn = jax.jit(lambda xs: lax.scan(body, jnp.float32(0), xs)[0])
-    float(fn(xs))  # compile + warm
-
-    best = 0.0
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(fn(xs))  # host scalar read == hard completion barrier
-        dt = time.perf_counter() - t0
-        best = max(best, k_batches * batch * seconds / dt)
-    value = best
+    per_batch = (timed(k2) - timed(k1)) / (k2 - k1)
+    value = batch * seconds / per_batch
     print(
         json.dumps(
             {
