@@ -62,6 +62,10 @@ class FeatureConfig:
     # against precomputed cos/-sin matrices (window folded in); "fft" uses
     # XLA's native rfft; "auto" picks matmul for fft_points <= 1024 on TPU.
     fft_impl: str = "auto"
+    # MXU precision for all pipeline GEMMs: "highest" = full f32 (6-pass,
+    # golden-parity default), "high" = 3-pass (~1e-4 rel, ~1.25x faster),
+    # "default" = bf16 multiplies (~1e-2 rel, fastest).
+    precision: str = "highest"
     dtype: str = "float32"
 
     # -------------------------------------------------- derived quantities --

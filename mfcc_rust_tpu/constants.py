@@ -318,6 +318,12 @@ def _bundle_cached(cfg) -> dict:
     # DFT matmul constants: plain (no window folded) and windowed variants.
     out["dft"] = rdft_matrices(n_fft, frame_len)
     out["dft_windowed"] = rdft_matrices(n_fft, frame_len, win)
+    # Frequency support of the filterbank: speechpy's (K+1)-quirk banks span
+    # only the lower half-spectrum (feature.rs:69-70), so the DFT GEMM can be
+    # trimmed to the last bin any mel filter touches — ~2x fewer FLOPs on the
+    # hot path (mel projection cannot see the dropped bins).
+    nonzero_cols = np.nonzero(fb.any(axis=0))[0]
+    out["fbank_kmax"] = int(nonzero_cols[-1]) + 1 if len(nonzero_cols) else fb.shape[1]
     return out
 
 

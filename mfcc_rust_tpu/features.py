@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import FeatureConfig, librosa_config
+from .constants import constant_bundle
 from .ops import framing as _framing
 from .ops import stft as _stft
 from .ops.dct import dct2_ortho
@@ -40,10 +41,131 @@ def _speechpy_frames(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     )
 
 
+# ------------------------------------------------------- fast chunked path --
+def _chunk_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int, precision):
+    """frames @ wall without materializing frames: hop-chunk the signal and
+    accumulate r shifted chunk-GEMMs against wall's hop-row blocks
+    (wall: (r*hop, D) numpy).  Returns (chunks, result (..., n_frames, D))."""
+    r = wall.shape[0] // hop
+    wj = jnp.asarray(wall, signal.dtype)
+    need = (n_frames + r - 1) * hop
+    if need > signal.shape[-1]:
+        pad = [(0, 0)] * (signal.ndim - 1) + [(0, need - signal.shape[-1])]
+        signal = jnp.pad(signal, pad)
+    ch = signal[..., :need].reshape(signal.shape[:-1] + (n_frames + r - 1, hop))
+    y = None
+    for s in range(r):
+        part = jnp.matmul(
+            ch[..., s : s + n_frames, :], wj[s * hop : (s + 1) * hop],
+            precision=precision,
+        )
+        y = part if y is None else y + part
+    return ch, y
+
+
+def _fast_path_ok(cfg: FeatureConfig) -> bool:
+    """The chunk-GEMM lowering needs hop-divisible frames, an even fft size
+    (for the Parseval Nyquist term) and the matmul DFT impl."""
+    from .ops.spectrum import resolve_fft_impl
+
+    fl = min(cfg.frame_size, cfg.fft_points)
+    return (
+        fl % cfg.frame_step == 0
+        and cfg.fft_points % 2 == 0
+        and resolve_fft_impl(cfg) == "matmul"
+    )
+
+
+def _chunked_mel_energy(
+    signal: jnp.ndarray, cfg: FeatureConfig, want_energy: bool,
+    spectral_weight=None,
+):
+    """speechpy-nopad framed power spectrum -> mel projection without ever
+    materializing the (F, frame_len) matrix, with the DFT trimmed to the
+    filterbank's frequency support (constants: 'fbank_kmax').
+
+    The framing identity: ``frames @ W == sum_s chunks[s:s+F] @ W_rowblock_s``
+    for ``frame_len == r * hop``.  Exact frame energies (sum of |X|^2/N over
+    all rFFT bins — including the trimmed ones) come from Parseval:
+    ``sum_{k<=N/2} |X_k|^2 = (N * sum(x^2) + X_0^2 + X_{N/2}^2) / 2`` with
+    ``X_0 = sum(x)`` and ``X_{N/2} = sum((-1)^n x)`` folded in as two extra
+    GEMM columns.
+
+    Returns (mel_feats, energies_or_None[, ssc_numerator]) where
+    ``spectral_weight`` (a per-bin weight vector, e.g. SSC's frequency ramp)
+    adds a second weighted mel projection.
+    """
+    import numpy as np
+
+    if cfg.preemphasis_cof:
+        signal = _framing.preemphasis(signal, 1, cfg.preemphasis_cof)
+    bundle = constant_bundle(cfg)
+    kmax = bundle["fbank_kmax"]
+    c64, s64 = bundle["dft_windowed" if cfg.window != "rect" else "dft"]
+    win = bundle["window"]
+    fl = c64.shape[0]
+    hop = cfg.frame_step
+    r = fl // hop
+    n = cfg.fft_points
+    t = signal.shape[-1]
+    n_frames, _ = _framing.speechpy_frame_counts(t, fl, hop, zero_padding=False)
+    m = cfg.num_filters
+    if n_frames <= 0:
+        shape = signal.shape[:-1] + (0, m)
+        empty = jnp.zeros(shape, signal.dtype)
+        e = jnp.zeros(signal.shape[:-1] + (0,), signal.dtype) if want_energy else None
+        if spectral_weight is not None:
+            return empty, e, empty
+        return empty, e
+
+    # assemble the combined GEMM matrix: [C_trim | S_trim | w | ±w]
+    cols = [c64[:, :kmax], s64[:, :kmax]]
+    if want_energy:
+        w = win[:fl] if cfg.window != "rect" else np.ones(fl)
+        alt = w * ((-1.0) ** np.arange(fl))
+        cols += [w[:, None], alt[:, None]]
+    wall = np.concatenate(cols, axis=1)
+
+    ch, y = _chunk_gemm(signal, wall, n_frames, hop, cfg.precision)
+    xr = y[..., :kmax]
+    xi = y[..., kmax : 2 * kmax]
+    power = (xr * xr + xi * xi) * (1.0 / n)
+
+    fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signal.dtype)
+    feats = zero_handling(jnp.matmul(power, fbt, precision=cfg.precision))
+
+    energies = None
+    if want_energy:
+        s0 = y[..., 2 * kmax]
+        s1 = y[..., 2 * kmax + 1]
+        if cfg.window != "rect":
+            w2 = jnp.asarray((win[:fl] ** 2).reshape(r, hop), signal.dtype)
+        else:
+            w2 = jnp.ones((r, hop), signal.dtype)
+        sq = ch * ch
+        s2 = None
+        for s in range(r):
+            part = jnp.sum(sq[..., s : s + n_frames, :] * w2[s], axis=-1)
+            s2 = part if s2 is None else s2 + part
+        energies = zero_handling((n * s2 + s0 * s0 + s1 * s1) / (2.0 * n))
+
+    if spectral_weight is not None:
+        rw = jnp.asarray(spectral_weight[:kmax], signal.dtype)
+        eps = float(np.finfo(np.float64).eps)
+        pz = jnp.where(power == 0.0, jnp.asarray(eps, power.dtype), power)
+        num = jnp.matmul(pz * rw, fbt, precision=cfg.precision)
+        den = jnp.matmul(pz, fbt, precision=cfg.precision)
+        return num, energies, den
+    return feats, energies
+
+
 def mfe(signal: jnp.ndarray, cfg: FeatureConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mel filterbank energies + frame energies (feature.rs:200-233).
 
     (..., T) -> ((..., F, num_filters), (..., F))."""
+    if _fast_path_ok(cfg):
+        feats, energies = _chunked_mel_energy(signal, cfg, want_energy=True)
+        return feats, energies
     frames = _speechpy_frames(signal, cfg)
     ps = power_spectrum(frames, cfg, windowed=cfg.window != "rect")
     energies = zero_handling(jnp.sum(ps, axis=-1))
@@ -71,6 +193,14 @@ def mfcc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 def ssc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """Spectral subband centroids (README.md:15 promise; SURVEY C24):
     (..., T) -> (..., F, num_filters), centroids in Hz."""
+    if _fast_path_ok(cfg):
+        import numpy as np
+
+        ramp = np.linspace(1.0, cfg.sample_rate / 2.0, cfg.freq_size)
+        num, _, den = _chunked_mel_energy(
+            signal, cfg, want_energy=False, spectral_weight=ramp
+        )
+        return num / den
     frames = _speechpy_frames(signal, cfg)
     ps = power_spectrum(frames, cfg, windowed=cfg.window != "rect")
     return ssc_from_power(ps, cfg)
@@ -95,6 +225,28 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
     """librosa-compatible mel spectrogram: (..., T) -> (..., n_mels, frames)
     (BASELINE.json config 2).  Build ``cfg`` with
     :func:`mfcc_rust_tpu.config.librosa_config`."""
+    n = cfg.fft_points
+    hop = cfg.frame_step
+    if _fast_path_ok(cfg) and cfg.frame_size == n:
+        if cfg.center:
+            pad = [(0, 0)] * (signal.ndim - 1) + [(n // 2, n // 2)]
+            signal = jnp.pad(signal, pad, mode=cfg.pad_mode)
+        count = 1 + (signal.shape[-1] - n) // hop
+        if count > 0:
+            bundle = constant_bundle(cfg)
+            kmax = bundle["fbank_kmax"]
+            c64, s64 = bundle["dft_windowed"]
+            import numpy as np
+
+            wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
+            _, y = _chunk_gemm(signal, wall, count, hop, cfg.precision)
+            xr, xi = y[..., :kmax], y[..., kmax:]
+            power = xr * xr + xi * xi  # librosa: no 1/N scaling
+            if cfg.power != 2.0:
+                power = power ** (cfg.power / 2.0)
+            fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signal.dtype)
+            mel = jnp.matmul(power, fbt, precision=cfg.precision)
+            return jnp.swapaxes(mel, -1, -2)
     power = _stft.stft_framed(signal, cfg, framing_style="librosa", return_power=True)
     return mel_project_time_major(power, cfg)
 

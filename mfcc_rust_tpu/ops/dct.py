@@ -20,4 +20,4 @@ def dct2_ortho(x: jnp.ndarray, cfg: FeatureConfig, truncate: bool = True) -> jnp
     axis."""
     key = "dct" if truncate else "dct_full"
     d = jnp.asarray(constant_bundle(cfg)[key], dtype=x.dtype)
-    return jnp.matmul(x, d, precision="highest")
+    return jnp.matmul(x, d, precision=cfg.precision)

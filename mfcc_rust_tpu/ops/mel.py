@@ -26,7 +26,7 @@ def apply_filterbank(power: jnp.ndarray, cfg: FeatureConfig,
                      handle_zeros: bool = False) -> jnp.ndarray:
     """(..., F, K) power -> (..., F, M) mel energies (feature.rs:229)."""
     fb = filterbank_matrix(cfg, power.dtype)
-    feats = jnp.matmul(power, fb.T, precision="highest")
+    feats = jnp.matmul(power, fb.T, precision=cfg.precision)
     if handle_zeros:
         feats = zero_handling(feats)
     return feats
@@ -36,4 +36,4 @@ def mel_project_time_major(power: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarra
     """(..., T, K) -> (..., M, T): the reference mel-spectrogram orientation
     (einsum "ft,mf->mt" / "ntf,mf->nmt", feature.rs:161,173)."""
     fb = filterbank_matrix(cfg, power.dtype)
-    return jnp.swapaxes(jnp.matmul(power, fb.T, precision="highest"), -1, -2)
+    return jnp.swapaxes(jnp.matmul(power, fb.T, precision=cfg.precision), -1, -2)

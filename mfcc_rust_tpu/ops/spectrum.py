@@ -65,8 +65,8 @@ def rdft(
             raise ValueError(
                 f"frame length {L} does not match DFT constant rows {c.shape[0]}"
             )
-        xr = jnp.matmul(frames, c, precision="highest")
-        xi = jnp.matmul(frames, s, precision="highest")
+        xr = jnp.matmul(frames, c, precision=cfg.precision)
+        xi = jnp.matmul(frames, s, precision=cfg.precision)
         return xr, xi
     # XLA fft path
     if windowed:

@@ -24,6 +24,6 @@ def ssc_from_power(power: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     r = jnp.asarray(
         np.linspace(1.0, cfg.sample_rate / 2.0, cfg.freq_size), dtype=power.dtype
     )
-    num = jnp.matmul(power * r, fb.T, precision="highest")
-    den = jnp.matmul(power, fb.T, precision="highest")
+    num = jnp.matmul(power * r, fb.T, precision=cfg.precision)
+    den = jnp.matmul(power, fb.T, precision=cfg.precision)
     return num / den
