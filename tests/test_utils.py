@@ -1,0 +1,73 @@
+"""util.rs parity shims (SURVEY C15-C18) and bucketing."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfcc_rust_tpu.utils.bucketing import bucket_batch, bucket_length
+from mfcc_rust_tpu.utils.padding import array_log, pad, pad_center, repeat_axis
+
+
+def test_pad_modes_match_numpy(rng):
+    x = rng.normal(size=(4, 5))
+    for mode in ["constant", "symmetric", "edge", "reflect"]:
+        ours = np.asarray(pad(jnp.asarray(x), [(2, 1), (0, 3)], mode))
+        ref = np.pad(x, [(2, 1), (0, 3)], mode=mode)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_pad_constant_value():
+    out = np.asarray(pad(jnp.ones((2, 2)), [(1, 1), (1, 1)], "constant", 7.0))
+    assert out[0, 0] == 7.0 and out[1, 1] == 1.0
+
+
+def test_pad_unknown_mode():
+    with pytest.raises(ValueError):
+        pad(jnp.ones((2, 2)), [(1, 1), (1, 1)], "wrap")
+
+
+def test_repeat_axis_matches_numpy_doc_examples():
+    # the reference's own test vectors (util.rs:389-413 tile equivalence)
+    a = jnp.asarray([0, 1, 2])
+    np.testing.assert_array_equal(
+        np.asarray(repeat_axis(a[None, :], 0, 2)), np.tile([0, 1, 2], (2, 1))
+    )
+    b = jnp.asarray([[1, 2], [3, 4]])
+    np.testing.assert_array_equal(
+        np.asarray(repeat_axis(b, 0, 2)), np.tile([[1, 2], [3, 4]], (2, 1))
+    )
+
+
+def test_pad_center():
+    w = jnp.ones(3)
+    out = np.asarray(pad_center(w, 7))
+    np.testing.assert_array_equal(out, [0, 0, 1, 1, 1, 0, 0])
+    with pytest.raises(ValueError):
+        pad_center(jnp.ones(5), 3)
+
+
+def test_array_log(rng):
+    x = np.abs(rng.normal(size=(3, 4))) + 0.1
+    np.testing.assert_allclose(np.asarray(array_log(jnp.asarray(x))), np.log(x),
+                               rtol=1e-12)
+
+
+def test_bucket_length_monotone():
+    prev = 0
+    for n in [1, 100, 2048, 2049, 10_000, 100_000, 1_000_000]:
+        b = bucket_length(n)
+        assert b >= n and b >= prev
+        prev = b
+    # bounded waste
+    for n in [5000, 50_000, 500_000]:
+        assert bucket_length(n) <= 1.27 * n
+
+
+def test_bucket_batch_groups():
+    lengths = [100, 90_000, 110, 91_000, 120, 92_000]
+    batches = bucket_batch(lengths, batch_size=2)
+    for b in batches:
+        bl = {bucket_length(lengths[i]) for i in b}
+        assert len(bl) == 1  # one bucket per batch
+        assert len(b) <= 2
+    assert sorted(i for b in batches for i in b) == list(range(6))
