@@ -1,8 +1,12 @@
 """Headline benchmark: MFCC-13 extraction throughput at 16 kHz.
 
 Prints ONE JSON line: audio-seconds processed per wall-clock second per chip
-for the flagship batched MFCC pipeline (speechpy defaults: 25→20 ms frames /
+for the flagship batched MFCC pipeline (speechpy defaults: 20 ms frames /
 10 ms hop, 40 mels, fft 512 — BASELINE.json config 1 scaled to a batch).
+
+``python bench.py --suite`` additionally benchmarks the other BASELINE.json
+configs (librosa mel spectrogram, full feature suite, ragged bucketed batch),
+one JSON line each.
 
 The reference publishes no numbers (SURVEY §6), so ``vs_baseline`` is
 reported against the north-star target of 50,000 audio-seconds/s/chip
@@ -10,11 +14,121 @@ reported against the north-star target of 50,000 audio-seconds/s/chip
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 TARGET = 50_000.0  # north-star audio-seconds/s/chip (BASELINE.json)
+
+
+def _slope_timer(make_fn, make_xs, audio_seconds_per_batch, k1=4, k2=12):
+    """True device seconds per batch: two-point slope over scan length
+    cancels the fixed per-call dispatch latency of the remote TPU tunnel."""
+    import jax
+    from jax import lax
+
+    def timed(k):
+        xs = make_xs(k)
+        fn = jax.jit(
+            lambda xs: lax.scan(
+                lambda c, x: (c + make_fn(x), None), np.float32(0), xs
+            )[0]
+        )
+        float(fn(xs))
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(fn(xs))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_batch = (timed(k2) - timed(k1)) / (k2 - k1)
+    return audio_seconds_per_batch / per_batch
+
+
+def _emit(metric, value):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(value / TARGET, 4),
+            }
+        )
+    )
+
+
+def suite():
+    """BASELINE.json configs 2-4 (config 1 is the headline in main())."""
+    import jax.numpy as jnp
+
+    from mfcc_rust_tpu import FeatureConfig, features, librosa_config
+
+    rng = np.random.default_rng(0)
+
+    # config 2: librosa mel spectrogram 2048/512, 128 mels, 22.05 kHz
+    lcfg = librosa_config(22050)
+    b2, t2 = 32, 220500  # 32 x 10 s
+    _emit(
+        "audio_seconds_per_sec_per_chip (librosa mel 2048/512/128)",
+        _slope_timer(
+            lambda x: features.mel_spectrogram_librosa(x, lcfg).sum(),
+            lambda k: jnp.asarray(
+                rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
+            ),
+            b2 * 10.0,
+        ),
+    )
+
+    # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded batch
+    cfg = FeatureConfig(sample_rate=16000)
+    b3, t3 = 64, 160000
+
+    def full_suite(x):
+        feats, energies = features.mfe(x, cfg)
+        return (
+            feats.sum()
+            + energies.sum()
+            + features.lmfe(x, cfg).sum()
+            + features.ssc(x, cfg).sum()
+            + features.mfcc(x, cfg).sum()
+        )
+
+    _emit(
+        "audio_seconds_per_sec_per_chip (full suite: mfe+lmfe+ssc+mfcc)",
+        _slope_timer(
+            full_suite,
+            lambda k: jnp.asarray(
+                rng.normal(0, 0.1, (k, b3, t3)).astype(np.float32)
+            ),
+            b3 * 10.0,
+        ),
+    )
+
+    # config 4: ragged utterances (1-35 s), bucketed: measure at the 2
+    # dominant buckets and report audio-weighted throughput
+    from mfcc_rust_tpu.utils.bucketing import bucket_length
+
+    total_as, total_wall = 0.0, 0.0
+    for seconds, bsz in [(5, 64), (20, 16)]:
+        t = bucket_length(seconds * 16000)
+        val = _slope_timer(
+            lambda x: features.mfcc(x, cfg).sum(),
+            lambda k: jnp.asarray(
+                rng.normal(0, 0.1, (k, bsz, t)).astype(np.float32)
+            ),
+            bsz * t / 16000.0,
+            k1=2,
+            k2=8,
+        )
+        total_as += bsz * t / 16000.0
+        total_wall += (bsz * t / 16000.0) / val
+    _emit(
+        "audio_seconds_per_sec_per_chip (bucketed ragged batches)",
+        total_as / total_wall,
+    )
 
 
 def main():
@@ -67,3 +181,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+    if "--suite" in sys.argv:
+        suite()

@@ -26,8 +26,12 @@ from . import constants, features, ops  # noqa: F401
 from .api import (  # noqa: F401
     cmvn,
     cmvnw,
+    delta,
+    derivative_extraction,
+    extract_derivative_feature,
     lmfe,
     log_mel_spectrogram,
+    log_power_spectrum,
     mel_spectrogram,
     mel_spectrogram_librosa,
     mfcc,
@@ -35,6 +39,7 @@ from .api import (  # noqa: F401
     mfe,
     preemphasis,
     ssc,
+    stack_frames,
 )
 from .config import (  # noqa: F401
     FeatureConfig,

@@ -159,6 +159,53 @@ def preemphasis(signal, shift=1, cof=0.98):
     return np.asarray(_framing.preemphasis(signal, shift, cof))
 
 
+def derivative_extraction(feat, delta_windows=2):
+    """speechpy-parity deltas along the feature axis (processing.rs:222-254)."""
+    from .ops import delta as _delta
+
+    return np.asarray(_delta.derivative_extraction(np.asarray(feat), delta_windows))
+
+
+def extract_derivative_feature(feature):
+    """Static+delta+delta-delta cube N x M x 3 (feature.rs:253-269)."""
+    from .ops import delta as _delta
+
+    return np.asarray(_delta.extract_derivative_feature(np.asarray(feature)))
+
+
+def delta(feat, width=2):
+    """Standard symmetric time-axis delta (the variant ASR pipelines want)."""
+    from .ops import delta as _delta
+
+    return np.asarray(_delta.delta(np.asarray(feat), width))
+
+
+def log_power_spectrum(frames, fft_length=512, normalize=True):
+    """Log power spectrum of pre-framed data (processing.rs:183-214, fixed
+    max-normalization)."""
+    from .ops import spectrum as _spectrum
+
+    frames = np.asarray(frames)
+    cfg = FeatureConfig(
+        sample_rate=16000,
+        fft_points=int(fft_length),
+        frame_length_samples=int(frames.shape[-1]),
+    )
+    return np.asarray(_spectrum.log_power_spectrum(frames, cfg, normalize))
+
+
+def stack_frames(signal, sampling_frequency, frame_length=0.020,
+                 frame_stride=0.020, zero_padding=True):
+    """speechpy-style overlapping framing (processing.rs:65-129, correctly
+    implemented)."""
+    return np.asarray(
+        _framing.stack_frames(
+            np.asarray(signal), sampling_frequency, frame_length, frame_stride,
+            None, zero_padding,
+        )
+    )
+
+
 def cmvn(vec, variance_normalization=False):
     """Global CMVN (processing.rs:265-300)."""
     return np.asarray(_normalize.cmvn(np.asarray(vec), variance_normalization))

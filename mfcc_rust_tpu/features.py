@@ -214,8 +214,26 @@ def mel_spectrogram(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     ``mel_spectrogram1`` for 1-D input and ``mel_spectrogram2`` for (C, T) —
     batching is just leading dims here, with stateless per-channel STFT
     (SURVEY §3.3)."""
+    from .ops.spectrum import resolve_fft_impl
+
     if cfg.window != "vorbis":
         cfg = cfg.replace(window="vorbis")
+    if resolve_fft_impl(cfg) == "matmul":
+        # mel output only sees the filterbank's frequency support: trim the
+        # windowed-DFT GEMM to kmax bins and project before the n_pad layout
+        bundle = constant_bundle(cfg)
+        kmax = bundle["fbank_kmax"]
+        c64, s64 = bundle["dft_windowed"]
+        frames = _stft._vorbis_frames(signal, cfg)
+        c = jnp.asarray(c64[:, :kmax], signal.dtype)
+        s = jnp.asarray(s64[:, :kmax], signal.dtype)
+        xr = jnp.matmul(frames, c, precision=cfg.precision)
+        xi = jnp.matmul(frames, s, precision=cfg.precision)
+        power = (xr * xr + xi * xi) * (cfg.wnorm * cfg.wnorm)
+        fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signal.dtype)
+        mel = jnp.matmul(power, fbt, precision=cfg.precision)
+        mel = _stft._apply_npad_layout(mel, cfg)
+        return jnp.swapaxes(mel, -1, -2)
     power = _stft.stft_vorbis_power(signal, cfg)
     return mel_project_time_major(power, cfg)
 

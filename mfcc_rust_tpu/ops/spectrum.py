@@ -31,7 +31,13 @@ from ..constants import constant_bundle
 def resolve_fft_impl(cfg: FeatureConfig) -> str:
     if cfg.fft_impl != "auto":
         return cfg.fft_impl
-    return "matmul" if cfg.fft_points <= 1024 else "fft"
+    if cfg.fft_points <= 1024:
+        return "matmul"
+    from .fft import good_factorization
+
+    # large transforms: two-stage Cooley-Tukey GEMMs beat both the direct
+    # DFT matmul (O(N K) vs O(N (N1+N2)) FLOPs) and XLA's VPU rfft
+    return "ct" if good_factorization(cfg.fft_points) else "fft"
 
 
 def zero_handling(x: jnp.ndarray, eps: Optional[float] = None) -> jnp.ndarray:
@@ -68,10 +74,14 @@ def rdft(
         xr = jnp.matmul(frames, c, precision=cfg.precision)
         xi = jnp.matmul(frames, s, precision=cfg.precision)
         return xr, xi
-    # XLA fft path
     if windowed:
         w = jnp.asarray(constant_bundle(cfg)["window"], dtype=frames.dtype)
-        frames = frames * w
+        frames = frames * w[: frames.shape[-1]]
+    if impl == "ct":
+        from .fft import rfft_ct
+
+        return rfft_ct(frames, n, precision=cfg.precision)
+    # XLA fft path
     spec = jnp.fft.rfft(frames, n=n, axis=-1)
     return jnp.real(spec).astype(frames.dtype), jnp.imag(spec).astype(frames.dtype)
 

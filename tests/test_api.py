@@ -105,3 +105,22 @@ def test_builder_api():
     cfg = m.SpeechConfigBuilder(16000).fft_points(1024).num_cepstral(20).build()
     assert cfg.fft_points == 1024 and cfg.num_cepstral == 20
     assert cfg.freq_size == 513
+
+
+def test_processing_facade(rng):
+    feat = rng.normal(size=(40, 13))
+    np.testing.assert_allclose(
+        m.derivative_extraction(feat), sp.derivative_extraction(feat),
+        rtol=1e-5, atol=1e-6,
+    )
+    cube = m.extract_derivative_feature(feat)
+    assert cube.shape == (40, 13, 3)
+    assert m.delta(feat).shape == feat.shape
+
+    sig = rng.normal(0, 0.1, 8000)
+    frames = m.stack_frames(sig, 16000, zero_padding=False)
+    gold = sp.stack_frames(sig, 16000, zero_padding=False)
+    np.testing.assert_allclose(frames, gold, atol=1e-7)
+    lps = m.log_power_spectrum(frames, 512)
+    gold_lps = sp.log_power_spectrum(gold, 512)
+    np.testing.assert_allclose(lps, gold_lps, rtol=1e-3, atol=1e-3)

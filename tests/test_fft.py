@@ -1,0 +1,42 @@
+"""Cooley-Tukey GEMM rFFT correctness."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mfcc_rust_tpu as m
+from mfcc_rust_tpu.ops.fft import good_factorization, rfft_ct
+
+
+@pytest.mark.parametrize("n,l", [(2048, 2048), (2048, 1024), (512, 320),
+                                 (1024, 1024), (400, 400)])
+def test_rfft_ct_matches_numpy(rng, n, l):
+    x = rng.normal(size=(4, l))
+    xr, xi = rfft_ct(jnp.asarray(x), n)
+    ref = np.fft.rfft(x, n=n, axis=-1)
+    np.testing.assert_allclose(np.asarray(xr), ref.real, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(xi), ref.imag, rtol=1e-9, atol=1e-9)
+
+
+def test_factorization():
+    assert good_factorization(2048) == (64, 32)
+    assert good_factorization(2) is None or good_factorization(2)[0] * good_factorization(2)[1] == 2
+    assert good_factorization(7) is None
+
+
+def test_ct_impl_in_pipeline(rng):
+    """librosa preset with fft_impl=ct equals fft impl exactly in f64."""
+    from mfcc_rust_tpu import features as F
+
+    y = rng.normal(0, 0.1, 22050)
+    base = m.librosa_config(22050).replace(dtype="float64")
+    a = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(y), base.replace(fft_impl="ct")))
+    b = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(y), base.replace(fft_impl="fft")))
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
+
+
+def test_auto_selects_ct():
+    from mfcc_rust_tpu.ops.spectrum import resolve_fft_impl
+
+    assert resolve_fft_impl(m.librosa_config(22050)) == "ct"
+    assert resolve_fft_impl(m.speechpy_config(16000)) == "matmul"
