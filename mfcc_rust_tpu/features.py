@@ -78,7 +78,7 @@ def _fast_path_ok(cfg: FeatureConfig) -> bool:
 
 def _chunked_mel_energy(
     signal: jnp.ndarray, cfg: FeatureConfig, want_energy: bool,
-    spectral_weight=None,
+    spectral_weight=None, n_frames: Optional[int] = None,
 ):
     """speechpy-nopad framed power spectrum -> mel projection without ever
     materializing the (F, frame_len) matrix, with the DFT trimmed to the
@@ -108,7 +108,8 @@ def _chunked_mel_energy(
     r = fl // hop
     n = cfg.fft_points
     t = signal.shape[-1]
-    n_frames, _ = _framing.speechpy_frame_counts(t, fl, hop, zero_padding=False)
+    if n_frames is None:
+        n_frames, _ = _framing.speechpy_frame_counts(t, fl, hop, zero_padding=False)
     m = cfg.num_filters
     if n_frames <= 0:
         shape = signal.shape[:-1] + (0, m)

@@ -45,9 +45,10 @@ def _local_features(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, CorpusMoments]:
     """Per-shard body: (Bl, Tl) signals + (Bl,) lengths -> (feats, mask,
     psum'd moments).  Runs inside shard_map."""
+    from ..features import _chunked_mel_energy, _fast_path_ok
+
     hop = cfg.frame_step
-    power = halo.sharded_power_spectrum(signals, cfg, SEQ_AXIS)  # (Bl, Fl, K)
-    n_local = power.shape[-2]
+    n_local = signals.shape[-1] // hop
     seq_idx = jax.lax.axis_index(SEQ_AXIS)
     gidx = seq_idx * n_local + jnp.arange(n_local)  # global frame index
     # speechpy zero_padding=False frame count: floor((L - frame_len) / hop)
@@ -55,7 +56,26 @@ def _local_features(
     n_valid = jnp.floor((lengths - cfg.frame_size) / hop).astype(jnp.int32)
     mask = gidx[None, :] < n_valid[:, None]  # (Bl, Fl)
 
-    if feature in ("mfcc", "lmfe", "mfe"):
+    if feature not in ("mfcc", "lmfe", "mfe"):
+        raise ValueError(f"unknown feature {feature!r}")
+
+    if _fast_path_ok(cfg) and cfg.window == "rect":
+        # same chunk-GEMM lowering as the single-chip fast path, run on the
+        # halo-extended local shard (right halo = frame_len - hop samples)
+        halo_len = min(cfg.frame_size, cfg.fft_points) - hop
+        right = halo._right_halo(signals, halo_len, SEQ_AXIS)
+        full = jnp.concatenate([signals, right], axis=-1)
+        feats, energies = _chunked_mel_energy(
+            full, cfg, want_energy=True, n_frames=n_local
+        )
+        if feature == "mfcc":
+            feats = dct2_ortho(jnp.log(feats), cfg)
+            if cfg.dc_elimination:
+                feats = feats.at[..., 0].set(jnp.log(energies))
+        elif feature == "lmfe":
+            feats = jnp.log(feats)
+    else:
+        power = halo.sharded_power_spectrum(signals, cfg, SEQ_AXIS)
         energies = zero_handling(jnp.sum(power, axis=-1))
         feats = apply_filterbank(power, cfg, handle_zeros=True)
         if feature == "mfcc":
@@ -64,8 +84,6 @@ def _local_features(
                 feats = feats.at[..., 0].set(jnp.log(energies))
         elif feature == "lmfe":
             feats = jnp.log(feats)
-    else:
-        raise ValueError(f"unknown feature {feature!r}")
 
     moments = psum_moments(
         local_moments(feats, mask.astype(feats.dtype)), (DATA_AXIS, SEQ_AXIS)
