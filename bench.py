@@ -179,7 +179,55 @@ def main():
     )
 
 
+def scaling():
+    """Data-parallel scaling over the available device mesh: audio-s/s at 1
+    device vs all devices and the efficiency ratio.  On a 1-chip host this
+    degenerates to a single line; on a pod slice it is the BASELINE config-5
+    scaling-efficiency measurement.  NOTE: on a virtual CPU mesh
+    (xla_force_host_platform_device_count) the "devices" timeshare the same
+    cores, so the efficiency ratio is only meaningful on real chips."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfcc_rust_tpu import FeatureConfig
+    from mfcc_rust_tpu.parallel import extraction_step, make_mesh
+
+    cfg = FeatureConfig(sample_rate=16000)
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(0)
+
+    def run(devices):
+        n = len(devices)
+        mesh = make_mesh(n_data=n, n_seq=1, devices=devices)
+        b, t = 16 * n, 160000
+        sig = rng.normal(0, 0.1, (b, t)).astype(np.float32)
+        lens = np.full(b, t, np.int64)
+        out = extraction_step(sig, lens, cfg, mesh)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            out = extraction_step(sig, lens, cfg, mesh)
+            float(out[2].count)  # host read as completion barrier
+            best = min(best, time.perf_counter() - t0)
+        return b * 10.0 / best
+
+    one = run(jax.devices()[:1])
+    print(json.dumps({"metric": "scaling: audio_s_per_sec @1dev", "value": round(one, 1),
+                      "unit": "audio-s/s", "vs_baseline": round(one / TARGET, 4)}))
+    if n_dev > 1:
+        alln = run(jax.devices())
+        eff = alln / (one * n_dev)
+        print(json.dumps({"metric": f"scaling: audio_s_per_sec @{n_dev}dev", "value": round(alln, 1),
+                          "unit": "audio-s/s", "vs_baseline": round(alln / TARGET, 4)}))
+        print(json.dumps({"metric": f"scaling efficiency @{n_dev}dev", "value": round(eff, 4),
+                          "unit": "ratio", "vs_baseline": round(eff / 0.9, 4)}))
+
+
 if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+        sys.exit(0)
     main()
     if "--suite" in sys.argv:
         suite()
