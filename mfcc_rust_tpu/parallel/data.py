@@ -47,6 +47,8 @@ def _local_features(
     psum'd moments).  Runs inside shard_map."""
     from ..features import _chunked_mel_energy, _fast_path_ok
 
+    if feature == "melspec":
+        return _local_melspec(signals, lengths, cfg)
     hop = cfg.frame_step
     n_local = signals.shape[-1] // hop
     seq_idx = jax.lax.axis_index(SEQ_AXIS)
@@ -91,6 +93,40 @@ def _local_features(
     return feats, mask, moments
 
 
+def _local_melspec(
+    signals: jnp.ndarray, lengths: jnp.ndarray, cfg: FeatureConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray, CorpusMoments]:
+    """Sharded vorbis mel spectrogram (the reference's mel_spectrogram
+    family, feature.rs:151-174): left-halo streaming frames, trimmed
+    windowed-DFT GEMMs, mel projection.  Output is frame-major
+    (Bl, Fl, M), chunk-indexed: the batch n_pad warm-up/tail layout is a
+    global-view concern applied after gathering (ops.stft._apply_npad_layout)."""
+    from ..constants import constant_bundle
+
+    hop = cfg.stream_hop
+    n_local = signals.shape[-1] // hop
+    seq_idx = jax.lax.axis_index(SEQ_AXIS)
+    gidx = seq_idx * n_local + jnp.arange(n_local)
+    n_valid = jnp.ceil(lengths / hop).astype(jnp.int32)  # chunks = ceil(T/hop)
+    mask = gidx[None, :] < n_valid[:, None]
+
+    frames = halo.sharded_frames_left_halo(signals, cfg.fft_points, hop, SEQ_AXIS)
+    bundle = constant_bundle(cfg)
+    kmax = bundle["fbank_kmax"]
+    c64, s64 = bundle["dft_windowed"]
+    c = jnp.asarray(c64[:, :kmax], signals.dtype)
+    s = jnp.asarray(s64[:, :kmax], signals.dtype)
+    xr = jnp.matmul(frames, c, precision=cfg.precision)
+    xi = jnp.matmul(frames, s, precision=cfg.precision)
+    power = (xr * xr + xi * xi) * (cfg.wnorm * cfg.wnorm)
+    fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signals.dtype)
+    mel = jnp.matmul(power, fbt, precision=cfg.precision)
+    moments = psum_moments(
+        local_moments(mel, mask.astype(mel.dtype)), (DATA_AXIS, SEQ_AXIS)
+    )
+    return mel, mask, moments
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _extraction_step_impl(signals, lengths, cfg, feature, mesh):
     mapped = shard_map(
@@ -119,16 +155,21 @@ def extraction_step(
     n_data = mesh.shape[DATA_AXIS]
     n_seq = mesh.shape[SEQ_AXIS]
     b, t = signals.shape
-    hop = cfg.frame_step
+    if feature == "melspec":
+        if cfg.window != "vorbis":
+            cfg = cfg.replace(window="vorbis")
+        hop = cfg.stream_hop
+    else:
+        hop = cfg.frame_step
+        if cfg.frame_size % hop:
+            raise ValueError(
+                "sequence-parallel framing requires frame_size % frame_step == 0"
+            )
     if b % n_data:
         raise ValueError(f"batch {b} not divisible by data axis {n_data}")
     if t % (n_seq * hop):
         raise ValueError(
             f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
-        )
-    if cfg.frame_size % hop:
-        raise ValueError(
-            "sequence-parallel framing requires frame_size % frame_step == 0"
         )
     signals = jax.device_put(signals, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)))
     lengths = jax.device_put(

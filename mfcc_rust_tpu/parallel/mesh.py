@@ -24,6 +24,27 @@ DATA_AXIS = "data"
 SEQ_AXIS = "seq"
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize JAX multi-host execution (call once, before any device
+    use) and return (process_index, process_count).  On managed TPU pods the
+    arguments are auto-detected; pass them explicitly elsewhere.  After this,
+    :func:`make_mesh` spans every chip in the slice and the psum'd corpus
+    moments in :mod:`mfcc_rust_tpu.parallel.data` reduce across hosts."""
+    import jax
+
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_seq: int = 1,

@@ -141,3 +141,25 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 8 and out.shape[-1] == 13
     ge.dryrun_multichip(8)
+
+
+def test_extraction_step_melspec(rng):
+    """Sharded vorbis mel spectrogram == batch mel_spectrogram after the
+    global n_pad layout."""
+    cfg = m.vorbis_config(16000, frame_length=0.01)  # hop 160, n_pad 2
+    mesh = make_mesh(n_data=2, n_seq=4)
+    hop = cfg.stream_hop
+    t = hop * 64
+    b = 4
+    sigs = rng.normal(0, 0.1, (b, t)).astype(np.float32)
+    lengths = np.full(b, t)
+    feats, mask, moments = extraction_step(sigs, lengths, cfg, mesh, "melspec")
+    feats = np.asarray(feats)
+    assert feats.shape == (b, t // hop, cfg.num_filters)
+    assert np.asarray(mask).all()
+
+    laid_out = np.asarray(S._apply_npad_layout(jnp.asarray(feats), cfg))
+    batch = np.asarray(F.mel_spectrogram(jnp.asarray(sigs), cfg))
+    np.testing.assert_allclose(
+        np.swapaxes(laid_out, -1, -2), batch, rtol=1e-4, atol=1e-6
+    )
