@@ -17,8 +17,6 @@ compute, slice to the true frame count) so the jit cache stays small; pass
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import numpy as np
 

@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .config import FeatureConfig, librosa_config
+from .config import FeatureConfig
 from .constants import constant_bundle
 from .ops import framing as _framing
 from .ops import stft as _stft

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FeatureConfig
-from ..constants import constant_bundle
 from . import framing
 from .spectrum import rdft
 

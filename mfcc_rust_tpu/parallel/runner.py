@@ -17,9 +17,7 @@ checkpointed and merged deterministically with
 
 from __future__ import annotations
 
-import json
 import os
-import time
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Tuple
 
