@@ -246,6 +246,8 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
     :func:`mfcc_rust_tpu.config.librosa_config`."""
     n = cfg.fft_points
     hop = cfg.frame_step
+    if _librosa_ct_ok(cfg):
+        return _librosa_ct_mel(signal, cfg)
     if _fast_path_ok(cfg) and cfg.frame_size == n:
         if cfg.center:
             pad = [(0, 0)] * (signal.ndim - 1) + [(n // 2, n // 2)]
@@ -268,6 +270,61 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
             return jnp.swapaxes(mel, -1, -2)
     power = _stft.stft_framed(signal, cfg, framing_style="librosa", return_power=True)
     return mel_project_time_major(power, cfg)
+
+
+def _librosa_ct_ok(cfg: FeatureConfig) -> bool:
+    from .ops.fft import good_factorization
+    from .ops.spectrum import resolve_fft_impl
+
+    if resolve_fft_impl(cfg) != "ct" or cfg.frame_size != cfg.fft_points:
+        return False
+    if cfg.power != 2.0:
+        return False
+    f = good_factorization(cfg.fft_points)
+    if f is None:
+        return False
+    n1, _ = f
+    hop = cfg.frame_step
+    return cfg.fft_points % hop == 0 and hop % n1 == 0
+
+
+def _librosa_ct_mel(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """Gather-free librosa mel spectrogram for large transforms: chunk-view
+    framing straight into the Cooley-Tukey (N2, N1) plane, CT GEMM stages
+    with the mel filterbank bin-permuted onto the CT output layout — no
+    frame gather, no spectrum transpose (see ops/fft.py)."""
+    import numpy as np
+
+    from .ops.fft import ct_power_project, good_factorization, permute_weights_for_ct
+
+    n = cfg.fft_points
+    hop = cfg.frame_step
+    n1, n2 = good_factorization(n)
+    if cfg.center:
+        pad = [(0, 0)] * (signal.ndim - 1) + [(n // 2, n // 2)]
+        signal = jnp.pad(signal, pad, mode=cfg.pad_mode)
+    t = signal.shape[-1]
+    count = 1 + (t - n) // hop
+    if count <= 0:
+        return jnp.zeros(signal.shape[:-1] + (cfg.num_filters, 0), signal.dtype)
+    r = n // hop
+    rows = hop // n1  # chunk rows of n1 samples
+    need = (count + r - 1) * hop
+    if need > t:
+        signal = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(0, need - t)])
+    ch = signal[..., :need].reshape(signal.shape[:-1] + (count + r - 1, rows, n1))
+    frames = jnp.concatenate(
+        [ch[..., s : s + count, :, :] for s in range(r)], axis=-2
+    )  # (..., count, N2, N1); frame row n2 = s*rows + q matches n = n1 + N1*n2
+
+    bundle = constant_bundle(cfg)
+    win = jnp.asarray(bundle["window"].reshape(n2, n1), signal.dtype)
+    frames = frames * win
+    fbp = jnp.asarray(
+        permute_weights_for_ct(bundle["fbank"], n, (n1, n2)).T, signal.dtype
+    )
+    mel = ct_power_project(frames, n, n1, n2, fbp, cfg.precision)
+    return jnp.swapaxes(mel, -1, -2)
 
 
 def log_mel_spectrogram(signal: jnp.ndarray, cfg: FeatureConfig,
