@@ -82,6 +82,34 @@ def suite():
         ),
     )
 
+    # reference-parity vorbis mel spectrogram (feature.rs:151-174)
+    from mfcc_rust_tpu import vorbis_config
+
+    vcfg = vorbis_config(16000)
+    bv, tv = 64, 160000
+    _emit(
+        "audio_seconds_per_sec_per_chip (vorbis mel_spectrogram)",
+        _slope_timer(
+            lambda x: features.mel_spectrogram(x, vcfg).sum(),
+            lambda k: jnp.asarray(
+                rng.normal(0, 0.1, (k, bv, tv)).astype(np.float32)
+            ),
+            bv * 10.0,
+        ),
+    )
+
+    # librosa MFCC (rides the CT-fused mel path)
+    _emit(
+        "audio_seconds_per_sec_per_chip (librosa mfcc 20)",
+        _slope_timer(
+            lambda x: features.mfcc_librosa(x, lcfg).sum(),
+            lambda k: jnp.asarray(
+                rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
+            ),
+            b2 * 10.0,
+        ),
+    )
+
     # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded batch
     cfg = FeatureConfig(sample_rate=16000)
     b3, t3 = 64, 160000

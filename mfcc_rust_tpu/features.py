@@ -335,10 +335,12 @@ def log_mel_spectrogram(signal: jnp.ndarray, cfg: FeatureConfig,
 
 def mfcc_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """librosa-compatible MFCC: DCT-II(ortho) over log-mel, (..., n_mfcc,
-    frames)."""
-    s = log_mel_spectrogram(signal, cfg)
-    # DCT along the mel axis (-2): move it last, matmul, move back.
-    coeffs = dct2_ortho(jnp.swapaxes(s, -1, -2), cfg)
+    frames).  Internally frame-major so the mel pipeline's output feeds the
+    DCT GEMM without a transpose round-trip; the single mel<->time swap
+    happens once at the end."""
+    s = jnp.swapaxes(mel_spectrogram_librosa(signal, cfg), -1, -2)  # (..., T, M)
+    s = power_to_db(s)
+    coeffs = dct2_ortho(s, cfg)
     return jnp.swapaxes(coeffs, -1, -2)
 
 
