@@ -148,7 +148,10 @@ class CorpusRunner:
 
         n_data = self.mesh.shape[DATA_AXIS]
         n_seq = self.mesh.shape[SEQ_AXIS]
-        hop = self.cfg.frame_step
+        hop = (
+            self.cfg.stream_hop if self.feature == "melspec"
+            else self.cfg.frame_step
+        )
         align = n_seq * hop
 
         loader = AudioLoader(
@@ -206,10 +209,14 @@ class CorpusRunner:
                     f"{self.cfg.sample_rate}"
                 )
             # drop utterances too short to produce one frame (reference
-            # yields an empty matrix for these, feature.rs:102-104)
-            num, _ = speechpy_frame_counts(
-                len(samples), self.cfg.frame_size, hop, zero_padding=False
-            )
+            # yields an empty matrix for these, feature.rs:102-104); the
+            # vorbis/melspec path frames any length (ceil(L/hop) chunks)
+            if self.feature == "melspec":
+                num = -(-len(samples) // hop)
+            else:
+                num, _ = speechpy_frame_counts(
+                    len(samples), self.cfg.frame_size, hop, zero_padding=False
+                )
             if num <= 0:
                 if self.store is not None:
                     self.store.done[todo[j]] = True

@@ -114,3 +114,30 @@ def test_config_hashable_and_jit_cache():
     probe(jnp.zeros(3))
     probe(jnp.ones(3))
     assert len(calls) == 1  # same shape -> one trace
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    from mfcc_rust_tpu.cli import main as cli_main
+    from mfcc_rust_tpu.runtime import write_wav
+
+    for i in range(4):
+        clip = rng.normal(0, 0.1, 8000 + 500 * i).astype(np.float32).clip(-1, 1)
+        write_wav(str(tmp_path / f"u{i}.wav"), clip, 16000)
+    out = tmp_path / "feats"
+    rc = cli_main([
+        str(tmp_path / "*.wav"), "--out-dir", str(out),
+        "--checkpoint", str(tmp_path / "ck.npz"),
+        "--cmvn-out", str(tmp_path / "cmvn.npz"),
+        "--batch-size", "2", "--quiet",
+    ])
+    assert rc == 0
+    assert sorted(p.name for p in out.glob("*.npy")) == [f"u{i}.npy" for i in range(4)]
+    z = np.load(tmp_path / "cmvn.npz")
+    assert z["mean"].shape == (13,) and z["count"] > 0
+
+
+def test_cli_no_inputs(tmp_path):
+    from mfcc_rust_tpu.cli import main as cli_main
+
+    rc = cli_main([str(tmp_path / "none/*.wav"), "--out-dir", str(tmp_path)])
+    assert rc == 2
