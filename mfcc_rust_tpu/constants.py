@@ -309,8 +309,13 @@ def _bundle_cached(cfg) -> dict:
     else:
         frame_len = min(cfg.frame_size, n_fft)
         win = window_array(cfg.window, min(cfg.win_length, frame_len))
-        if len(win) < frame_len:  # right-pad (speechpy tiles over the frame)
-            win = np.concatenate([win, np.zeros(frame_len - len(win))])
+        if len(win) < frame_len:
+            if frame_len == n_fft:
+                # librosa-style full-fft frames: center-pad the window even
+                # uncentered (librosa pads win_length < n_fft symmetrically)
+                win = pad_center(win, frame_len)
+            else:  # speechpy-style: window spans the frame; right-pad
+                win = np.concatenate([win, np.zeros(frame_len - len(win))])
     out["window"] = win
     out["frame_len"] = frame_len
     out["dct"] = dct_matrix(cfg.num_filters, cfg.num_cepstral)

@@ -3,29 +3,30 @@
 One kernel computes, per TILE_F-frame block, entirely in VMEM:
 
     hop-chunked signal --(r chunk-GEMMs vs split DFT matrices)--> X_re, X_im
-    --> power |X|^2/N --> frame energy --> mel GEMM --> log --> DCT GEMM
-    --> MFCC block (or log-mel block)
+    --> power |X|^2/N (+ Parseval frame energy) --> mel GEMM --> log
+    --> DCT GEMM --> MFCC block (or log-mel block)
 
-The framing trick: when ``frame_len == r * hop`` the windowed-DFT of all
-frames factorizes as
+Same chunk-algebra lowering as the XLA fast path
+(mfcc_rust_tpu.features._chunked_mel_energy): frames never materialize, the
+DFT is trimmed to the filterbank's support, and exact frame energies come
+from Parseval columns in the same GEMM.  What the kernel adds over XLA: the
+power spectrum and mel intermediates never round-trip HBM, and the block
+pipeline overlaps the chunk DMA with compute.
 
-    frames @ W  ==  sum_s  chunks[s : s+F] @ W[s*hop : (s+1)*hop]
+Mosaic specifics: bin counts are padded to 128-lane multiples so the
+xr/xi/energy slices are lane-aligned; all dots request HIGHEST precision
+(Mosaic defaults to bf16 multiplies even for f32 inputs — interpret mode
+hides this, the hardware does not).
 
-so overlapping frames are never materialized — each signal sample is read
-once per shift (r times total) instead of being gathered into an
-(F, frame_len) matrix in HBM.  Everything between the signal and the final
-(F, n_cepstral) output lives in VMEM; the intermediate power spectrum and
-mel matrices never touch HBM (the XLA path round-trips both).
-
-This is the hot path of BASELINE.json configs 1/3/4; the streaming/vorbis
-path keeps the XLA lowering (its hop does not divide its window).
+Numerics: matches the XLA pipeline to ~2e-3 absolute on MFCC (Mosaic's
+HIGHEST is a 3-pass scheme vs XLA's 6-pass); run A/B against features.mfcc
+before switching a workload over.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,166 +41,171 @@ _EPS32 = float(np.finfo(np.float32).eps)
 
 
 def fused_supported(cfg: FeatureConfig) -> bool:
-    """The fused kernel needs hop-divisible frames and the speechpy framing
-    family (centered/librosa works too after host-side pre-padding)."""
+    """Needs hop-divisible frames (speechpy/librosa framing family; the
+    vorbis hop does not divide its window) and an even fft size."""
     fl = min(cfg.frame_size, cfg.fft_points)
     return (
         cfg.window != "vorbis"
         and fl % cfg.frame_step == 0
         and fl // cfg.frame_step >= 1
+        and cfg.fft_points % 2 == 0
     )
 
 
-def _split_dft(cfg: FeatureConfig, windowed: bool):
-    """Split the (frame_len, K) cos/-sin DFT matrices into r hop-row blocks."""
-    c, s = constant_bundle(cfg)["dft_windowed" if windowed else "dft"]
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _kernel_constants(cfg: FeatureConfig):
+    """Lane-aligned numpy constants: combined per-shift GEMM blocks
+    [C_trim | S_trim | w | ±w] padded so xr/xi slices are 128-aligned,
+    the trimmed+padded melbank, and the DCT matrix."""
+    bundle = constant_bundle(cfg)
+    kmax = bundle["fbank_kmax"]
+    kpad = _round_up(kmax, 128)
+    c64, s64 = bundle["dft_windowed" if cfg.window != "rect" else "dft"]
+    win = bundle["window"]
+    fl = c64.shape[0]
     hop = cfg.frame_step
-    r = c.shape[0] // hop
-    cs = [np.ascontiguousarray(c[i * hop : (i + 1) * hop]) for i in range(r)]
-    ss = [np.ascontiguousarray(s[i * hop : (i + 1) * hop]) for i in range(r)]
-    return cs, ss, r
+    r = fl // hop
+
+    c = np.zeros((fl, kpad))
+    s = np.zeros((fl, kpad))
+    c[:, :kmax] = c64[:, :kmax]
+    s[:, :kmax] = s64[:, :kmax]
+    w = win[:fl] if cfg.window != "rect" else np.ones(fl)
+    alt = w * ((-1.0) ** np.arange(fl))
+    # columns: [C kpad | S kpad | w | alt | pad to lane multiple]
+    wall = np.concatenate([c, s, w[:, None], alt[:, None]], axis=1)
+    wall = np.pad(wall, [(0, 0), (0, _round_up(wall.shape[1], 128) - wall.shape[1])])
+    wall_blocks = [
+        np.ascontiguousarray(wall[i * hop : (i + 1) * hop]).astype(np.float32)
+        for i in range(r)
+    ]
+    w2_blocks = [
+        np.ascontiguousarray((w[i * hop : (i + 1) * hop] ** 2)[None, :]).astype(
+            np.float32
+        )
+        for i in range(r)
+    ]
+    fbt = np.zeros((kpad, cfg.num_filters))
+    fbt[:kmax] = bundle["fbank"][:, :kmax].T
+    dct = bundle["dct"].astype(np.float32)
+    return wall_blocks, w2_blocks, fbt.astype(np.float32), dct, kpad, r, fl
 
 
-def _kernel(
-    # refs: r chunk views, r cos blocks, r sin blocks, fbT, dct, out
-    *refs,
-    r: int,
-    inv_nfft: float,
-    dc_elim: bool,
-    feature: str,
-):
+def _kernel(*refs, r, kpad, inv_nfft, nfft, dc_elim, feature):
     chunk_refs = refs[:r]
-    c_refs = refs[r : 2 * r]
-    s_refs = refs[2 * r : 3 * r]
+    wall_refs = refs[r : 2 * r]
+    w2_refs = refs[2 * r : 3 * r]
     fbt_ref, dct_ref, out_ref = refs[3 * r : 3 * r + 3]
+    hi = jax.lax.Precision.HIGHEST
 
-    a0 = chunk_refs[0][0]
-    xr = jnp.dot(a0, c_refs[0][:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    xi = jnp.dot(a0, s_refs[0][:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    for s in range(1, r):
-        a = chunk_refs[s][0]
-        xr = xr + jnp.dot(a, c_refs[s][:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        xi = xi + jnp.dot(a, s_refs[s][:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    y = None
+    s2 = None
+    for i in range(r):
+        a = chunk_refs[i][0]  # (TILE_F, hop)
+        part = jnp.dot(a, wall_refs[i][:], preferred_element_type=jnp.float32,
+                       precision=hi)
+        y = part if y is None else y + part
+        if dc_elim:
+            e = jnp.sum(a * a * w2_refs[i][:], axis=1, keepdims=True)
+            s2 = e if s2 is None else s2 + e
 
-    power = (xr * xr + xi * xi) * inv_nfft  # (TILE_F, K)
-    mel = jnp.dot(power, fbt_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    xr = y[:, :kpad]
+    xi = y[:, kpad : 2 * kpad]
+    power = (xr * xr + xi * xi) * inv_nfft
+    mel = jnp.dot(power, fbt_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
     mel = jnp.where(mel == 0.0, _EPS32, mel)
     logmel = jnp.log(mel)
     if feature == "logmel":
         out_ref[0] = logmel
         return
-    out = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.dot(logmel, dct_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
     if dc_elim:
-        energy = jnp.sum(power, axis=1, keepdims=True)
+        s0 = y[:, 2 * kpad : 2 * kpad + 1]
+        s1 = y[:, 2 * kpad + 1 : 2 * kpad + 2]
+        energy = (nfft * s2 + s0 * s0 + s1 * s1) * (0.5 * inv_nfft)
         energy = jnp.where(energy == 0.0, _EPS32, energy)
         col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
         out = jnp.where(col == 0, jnp.log(energy), out)
     out_ref[0] = out
 
 
-def _fused_frontend(
-    signal: jnp.ndarray,
-    cfg: FeatureConfig,
-    feature: str,
-    tile_f: int = 256,
-) -> jnp.ndarray:
-    """(B, T) float32 -> (B, n_frames, D).  n_frames is the speechpy
-    no-padding count; framing style 'librosa' callers pre-pad and pass the
-    padded signal with its own frame count."""
+def _fused_frontend(signal, cfg: FeatureConfig, feature: str, tile_f: int):
     if signal.ndim == 1:
         return _fused_frontend(signal[None], cfg, feature, tile_f)[0]
     if signal.ndim != 2:
-        b = signal.shape[:-1]
-        return _fused_frontend(
+        lead = signal.shape[:-1]
+        out = _fused_frontend(
             signal.reshape((-1, signal.shape[-1])), cfg, feature, tile_f
-        ).reshape(b + (-1, _out_dim(cfg, feature)))
+        )
+        return out.reshape(lead + out.shape[1:])
 
+    wall_blocks, w2_blocks, fbt, dct, kpad, r, fl = _kernel_constants(cfg)
     hop = cfg.frame_step
-    fl = min(cfg.frame_size, cfg.fft_points)
-    windowed = cfg.window != "rect"
-    cs, ss, r = _split_dft(cfg, windowed)
     bsz, t = signal.shape
-    n_frames = int(math.floor((t - fl) / hop))  # speechpy nopad count
+    n_frames = int(math.floor((t - fl) / hop))
+    d = cfg.num_cepstral if feature == "mfcc" else cfg.num_filters
     if n_frames <= 0:
-        return jnp.zeros((bsz, 0, _out_dim(cfg, feature)), signal.dtype)
+        return jnp.zeros((bsz, 0, d), jnp.float32)
 
     n_blocks = pl.cdiv(n_frames, tile_f)
     n_frames_pad = n_blocks * tile_f
-    # chunk view s needs rows [s, s + n_frames_pad) of the hop-chunked
-    # signal: total chunks needed = n_frames_pad + r - 1
     need = (n_frames_pad + r - 1) * hop
     if need > t:
         signal = jnp.pad(signal, [(0, 0), (0, need - t)])
     chunks = signal[:, :need].reshape(bsz, n_frames_pad + r - 1, hop)
-    # r shifted, block-aligned views (XLA materializes each once: r reads of
-    # the signal instead of the gather's fl/hop-fold blowup + frame matrix)
-    views = [chunks[:, s : s + n_frames_pad] for s in range(r)]
-
-    bundle = constant_bundle(cfg)
-    k = cfg.freq_size
-    m = cfg.num_filters
-    d = _out_dim(cfg, feature)
-    fbt = jnp.asarray(bundle["fbank"].T, jnp.float32)  # (K, M)
-    dct = jnp.asarray(bundle["dct"], jnp.float32)  # (M, ncep)
+    views = [chunks[:, i : i + n_frames_pad] for i in range(r)]
 
     kern = functools.partial(
-        _kernel,
-        r=r,
-        inv_nfft=1.0 / cfg.fft_points,
-        dc_elim=cfg.dc_elimination and feature == "mfcc",
-        feature=feature,
+        _kernel, r=r, kpad=kpad, inv_nfft=1.0 / cfg.fft_points,
+        nfft=float(cfg.fft_points),
+        dc_elim=cfg.dc_elimination and feature == "mfcc", feature=feature,
     )
     view_specs = [
-        pl.BlockSpec(
-            (1, tile_f, hop), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        )
+        pl.BlockSpec((1, tile_f, hop), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM)
         for _ in range(r)
     ]
-    const_specs = [
-        pl.BlockSpec(c.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM)
-        for c in cs
-    ] + [
-        pl.BlockSpec(s.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM)
-        for s in ss
-    ] + [
-        pl.BlockSpec(fbt.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(dct.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-    ]
+    const_specs = (
+        [pl.BlockSpec(w.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+         for w in wall_blocks]
+        + [pl.BlockSpec(w.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+           for w in w2_blocks]
+        + [pl.BlockSpec(fbt.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+           pl.BlockSpec(dct.shape, lambda b, i: (0, 0), memory_space=pltpu.VMEM)]
+    )
     out = pl.pallas_call(
         kern,
         grid=(bsz, n_blocks),
         in_specs=view_specs + const_specs,
-        out_specs=pl.BlockSpec(
-            (1, tile_f, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, tile_f, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_frames_pad, d), jnp.float32),
         # Mosaic targets TPU; elsewhere (CPU test mesh) run interpreted
         interpret=jax.default_backend() != "tpu",
     )(
         *views,
-        *[jnp.asarray(c, jnp.float32) for c in cs],
-        *[jnp.asarray(s, jnp.float32) for s in ss],
-        fbt,
-        dct,
+        *[jnp.asarray(w) for w in wall_blocks],
+        *[jnp.asarray(w) for w in w2_blocks],
+        jnp.asarray(fbt),
+        jnp.asarray(dct),
     )
     return out[:, :n_frames]
 
 
-def _out_dim(cfg: FeatureConfig, feature: str) -> int:
-    return cfg.num_cepstral if feature == "mfcc" else cfg.num_filters
-
-
-def fused_mfcc(signal: jnp.ndarray, cfg: FeatureConfig, tile_f: int = 256) -> jnp.ndarray:
-    """Fused-kernel MFCC, numerically ≈ features.mfcc (feature.rs:94-148
-    semantics) for float32.  NOTE: the XLA path's zero_handling on mel
-    energies is replicated; frame energies are computed from the in-VMEM
-    power spectrum."""
+def fused_mfcc(signal, cfg: FeatureConfig, tile_f: int = 512) -> jnp.ndarray:
+    """Fused-kernel MFCC (feature.rs:94-148 semantics, float32)."""
     if not fused_supported(cfg):
         raise ValueError("config not supported by the fused kernel")
     return _fused_frontend(jnp.asarray(signal, jnp.float32), cfg, "mfcc", tile_f)
 
 
-def fused_log_mel(signal: jnp.ndarray, cfg: FeatureConfig, tile_f: int = 256) -> jnp.ndarray:
+def fused_log_mel(signal, cfg: FeatureConfig, tile_f: int = 512) -> jnp.ndarray:
     """Fused-kernel log mel filterbank energies (lmfe, feature.rs:242-245)."""
     if not fused_supported(cfg):
         raise ValueError("config not supported by the fused kernel")

@@ -75,3 +75,14 @@ def test_win_length_padding(clip):
     gold = lr.melspectrogram(clip, 22050, 2048, 512, win_length=1024)
     ours = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(clip), cfg))
     np.testing.assert_allclose(ours, gold, rtol=1e-6, atol=1e-10)
+
+
+def test_win_length_uncentered(clip):
+    """win_length < n_fft with center=False: the window must still be
+    center-padded to n_fft (librosa semantics)."""
+    cfg = m.librosa_config(22050, win_length=1024).replace(dtype="float64",
+                                                           center=False)
+    gold = lr.melspectrogram(clip, 22050, 2048, 512, win_length=1024,
+                             center=False)
+    ours = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(clip), cfg))
+    np.testing.assert_allclose(ours, gold, rtol=1e-6, atol=1e-10)
