@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq-shards", type=int, default=1,
                    help="sequence-parallel shards (long-audio halo mode)")
     p.add_argument("--io-threads", type=int, default=4)
+    p.add_argument("--max-seconds", type=float, default=240.0,
+                   help="decode cap per utterance (longer files are truncated"
+                        " with a warning)")
     p.add_argument("--coordinator", default=None,
                    help="multi-host coordinator address (host:port)")
     p.add_argument("--num-hosts", type=int, default=None)
@@ -93,7 +96,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     cfg = vorbis_config(**kw) if args.feature == "melspec" else FeatureConfig(**kw)
 
-    mesh = make_mesh(n_seq=args.seq_shards)
+    # multi-host model: host-local mesh + per-host file slice (see
+    # CorpusRunner docstring); single host uses all local devices anyway
+    import jax
+
+    mesh = make_mesh(n_seq=args.seq_shards, devices=jax.local_devices())
     runner = CorpusRunner(
         paths,
         cfg,
@@ -105,6 +112,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         process_index=process_index,
         process_count=process_count,
         n_io_threads=args.io_threads,
+        max_seconds=args.max_seconds,
         on_batch=None if args.quiet else (
             lambda info: print(json.dumps({"batch": info}), file=sys.stderr)
         ),

@@ -82,6 +82,13 @@ class FeatureConfig:
             )
         if self.low_frequency < 0.0:
             raise ValueError("low frequency cannot be less than zero!")
+        if self.window == "vorbis":
+            # streaming layout needs a carry of fft_points - hop samples
+            if not (0 < self.stream_hop <= self.fft_points):
+                raise ValueError(
+                    f"vorbis/streaming configs require 0 < frame samples "
+                    f"({self.stream_hop}) <= fft_points ({self.fft_points})"
+                )
 
     @property
     def resolved_high_frequency(self) -> float:

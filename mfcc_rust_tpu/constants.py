@@ -75,7 +75,11 @@ def window_array(name: str, win_length: int, n_fft: Optional[int] = None) -> np.
 
 
 def pad_center(w: np.ndarray, size: int) -> np.ndarray:
-    """librosa-style center pad of a 1-D window (util.rs:40-63's intent)."""
+    """librosa-style center pad of a 1-D window (util.rs:40-63's intent).
+    numpy trace-time twin of :func:`mfcc_rust_tpu.utils.padding.pad_center`
+    (the jit-safe jnp version) — keep their behavior aligned."""
+    if size < len(w):
+        raise ValueError(f"target size {size} < input size {len(w)}")
     lpad = (size - len(w)) // 2
     out = np.zeros(size, dtype=w.dtype)
     out[lpad : lpad + len(w)] = w

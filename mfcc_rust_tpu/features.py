@@ -68,9 +68,9 @@ def _fast_path_ok(cfg: FeatureConfig) -> bool:
     (for the Parseval Nyquist term) and the matmul DFT impl."""
     from .ops.spectrum import resolve_fft_impl
 
-    fl = min(cfg.frame_size, cfg.fft_points)
     return (
-        fl % cfg.frame_step == 0
+        cfg.frame_size <= cfg.fft_points  # frame>fft needs rfft truncation
+        and cfg.frame_size % cfg.frame_step == 0
         and cfg.fft_points % 2 == 0
         and resolve_fft_impl(cfg) == "matmul"
     )
@@ -133,7 +133,6 @@ def _chunked_mel_energy(
     power = (xr * xr + xi * xi) * (1.0 / n)
 
     fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signal.dtype)
-    feats = zero_handling(jnp.matmul(power, fbt, precision=cfg.precision))
 
     energies = None
     if want_energy:
@@ -157,6 +156,7 @@ def _chunked_mel_energy(
         num = jnp.matmul(pz * rw, fbt, precision=cfg.precision)
         den = jnp.matmul(pz, fbt, precision=cfg.precision)
         return num, energies, den
+    feats = zero_handling(jnp.matmul(power, fbt, precision=cfg.precision))
     return feats, energies
 
 

@@ -43,11 +43,11 @@ _EPS32 = float(np.finfo(np.float32).eps)
 def fused_supported(cfg: FeatureConfig) -> bool:
     """Needs hop-divisible frames (speechpy/librosa framing family; the
     vorbis hop does not divide its window) and an even fft size."""
-    fl = min(cfg.frame_size, cfg.fft_points)
     return (
         cfg.window != "vorbis"
-        and fl % cfg.frame_step == 0
-        and fl // cfg.frame_step >= 1
+        and cfg.frame_size <= cfg.fft_points  # frame>fft needs truncation
+        and cfg.frame_size % cfg.frame_step == 0
+        and cfg.frame_size // cfg.frame_step >= 1
         and cfg.fft_points % 2 == 0
     )
 

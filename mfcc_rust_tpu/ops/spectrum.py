@@ -120,12 +120,22 @@ def log_power_spectrum(
 
 
 def power_to_db(
-    s: jnp.ndarray, ref: float = 1.0, amin: float = 1e-10, top_db: Optional[float] = 80.0
+    s: jnp.ndarray, ref: float = 1.0, amin: float = 1e-10,
+    top_db: Optional[float] = 80.0, per_spectrogram: bool = True,
 ) -> jnp.ndarray:
-    """librosa-compatible power→dB with top_db clamp."""
+    """librosa-compatible power→dB with top_db clamp.
+
+    With ``per_spectrogram`` (default) the top_db reference max is taken over
+    the trailing two axes, so each spectrogram in a batch is clamped against
+    its OWN max — matching librosa applied per utterance.  Set it False for
+    librosa's literal whole-array behavior."""
     amin_a = jnp.asarray(amin, s.dtype)
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin_a, s))
     log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(amin_a, jnp.asarray(ref, s.dtype)))
     if top_db is not None:
-        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - top_db)
+        if per_spectrogram and s.ndim > 2:
+            ref_max = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        else:
+            ref_max = jnp.max(log_spec)
+        log_spec = jnp.maximum(log_spec, ref_max - top_db)
     return log_spec

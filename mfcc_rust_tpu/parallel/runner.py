@@ -33,13 +33,23 @@ from .mesh import DATA_AXIS, SEQ_AXIS, make_mesh
 from .stats import CorpusMoments, tree_merge
 
 
+def _config_fingerprint(cfg: FeatureConfig, n_paths: int, dim: int) -> str:
+    """Stable across processes: Python's hash() is salted per interpreter
+    (PYTHONHASHSEED), which would make every cross-process resume fail."""
+    import dataclasses
+    import hashlib
+
+    blob = repr(sorted(dataclasses.asdict(cfg).items())).encode()
+    return f"{hashlib.sha256(blob).hexdigest()[:16]}:{n_paths}:{dim}"
+
+
 class CheckpointStore:
     """npz checkpoint: done mask + running moments + config fingerprint."""
 
     def __init__(self, path: str, n_paths: int, cfg: FeatureConfig, dim: int):
         self.path = Path(path)
         self.n_paths = n_paths
-        self.fingerprint = f"{hash(cfg) & 0xFFFFFFFF:x}:{n_paths}:{dim}"
+        self.fingerprint = _config_fingerprint(cfg, n_paths, dim)
         self.done = np.zeros(n_paths, dtype=bool)
         self.moments = CorpusMoments.zeros(dim)
         if self.path.exists():
@@ -107,13 +117,38 @@ class CorpusRunner:
         process_index: int = 0,
         process_count: int = 1,
         n_io_threads: int = 4,
+        max_seconds: float = 240.0,
         on_batch: Optional[Callable[[dict], None]] = None,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
         self.indices = list(range(process_index, len(self.all_paths), process_count))
+        self.max_seconds = max_seconds
+        # Deterministic, collision-free output names: first path to claim a
+        # stem keeps it; later same-named files get an index suffix (same
+        # mapping on every restart, so resume stays idempotent).
+        self._out_names = {}
+        claimed = {}
+        for i, p in enumerate(self.all_paths):
+            stem = Path(p).stem
+            if claimed.setdefault(stem, i) == i:
+                self._out_names[i] = f"{stem}.npy"
+            else:
+                self._out_names[i] = f"{stem}_{i:06d}.npy"
         self.cfg = cfg if cfg is not None else FeatureConfig(sample_rate=16000)
         self.mesh = mesh if mesh is not None else make_mesh(n_seq=1)
+        # Multi-host model: each host runs its OWN runner over its file slice
+        # with a HOST-LOCAL mesh (psum then reduces host-locally and the
+        # per-host checkpoint moments tree-merge to the corpus total).  A
+        # global multi-controller mesh here would psum every batch across all
+        # hosts and the checkpoint merge would double-count.
+        if process_count > 1:
+            pidx = jax.process_index()
+            if any(d.process_index != pidx for d in self.mesh.devices.flat):
+                raise ValueError(
+                    "CorpusRunner with process_count > 1 requires a host-local"
+                    " mesh (make_mesh(devices=jax.local_devices()))"
+                )
         self.feature = feature
         self.batch_size = batch_size
         self.out_dir = Path(out_dir) if out_dir else None
@@ -155,7 +190,8 @@ class CorpusRunner:
         align = n_seq * hop
 
         loader = AudioLoader(
-            [self.all_paths[i] for i in todo], n_threads=self.n_io_threads
+            [self.all_paths[i] for i in todo], n_threads=self.n_io_threads,
+            max_seconds=self.max_seconds,
         )
         pending: List[Tuple[int, np.ndarray]] = []
         batches_since_ckpt = 0
@@ -183,7 +219,7 @@ class CorpusRunner:
             moments = moments.merge(batch_moments)
             if self.out_dir:
                 for r, utt_id in enumerate(ids):
-                    out_path = self.out_dir / f"{Path(self.all_paths[utt_id]).stem}.npy"
+                    out_path = self.out_dir / self._out_names[utt_id]
                     if out_path.exists():
                         continue  # idempotent restart-safe output
                     n_valid = int(mask[r].sum())

@@ -35,6 +35,7 @@ struct Item {
   int index;                 // position in the input path list
   int frames;                // decoded frames (or negative error code)
   uint32_t sample_rate;
+  uint32_t channels;         // values per frame in `data` (1 when mixed)
   std::vector<float> data;
 };
 
@@ -59,13 +60,18 @@ struct Loader {
       if (i >= paths.size()) return;
       Item it;
       it.index = (int)i;
-      it.data.resize(max_frames);
       WavInfo info{};
       int prc = wav_probe(paths[i].c_str(), &info);
       it.sample_rate = prc == 0 ? info.sample_rate : 0;
+      // interleaved output is frames*channels floats — size the buffer for
+      // the full frame width or a multi-channel file overruns it
+      uint32_t ch = (!mix_mono && prc == 0 && info.channels > 0)
+                        ? info.channels : 1;
+      it.channels = ch;
+      it.data.resize((size_t)max_frames * ch);
       it.frames = wav_read_f32(paths[i].c_str(), it.data.data(), max_frames,
                                mix_mono);
-      if (it.frames > 0) it.data.resize((size_t)it.frames);
+      if (it.frames > 0) it.data.resize((size_t)it.frames * ch);
       std::unique_lock<std::mutex> lk(mu);
       cv_push.wait(lk, [&] { return queue.size() < capacity || stopping; });
       if (stopping) return;
@@ -96,11 +102,12 @@ void* loader_create(const char** paths, int n_paths, int n_threads,
 }
 
 // Pops the next decoded item (arrival order, not path order).  Returns:
-//   0  item copied (index_out, frames_out, sr_out set; data into buf)
+//   0  item copied (index_out, frames_out, ch_out, sr_out set; data into
+//      buf — interleaved, frames_out*ch_out floats, capped at buf_values)
 //   1  exhausted (all paths consumed)
 //  <0  decode error for the item at index_out (frames_out = error code)
-int loader_next(void* handle, int* index_out, float* buf, uint32_t buf_frames,
-                uint32_t* frames_out, uint32_t* sr_out) {
+int loader_next(void* handle, int* index_out, float* buf, uint32_t buf_values,
+                uint32_t* frames_out, uint32_t* ch_out, uint32_t* sr_out) {
   auto* ld = (Loader*)handle;
   std::unique_lock<std::mutex> lk(ld->mu);
   ld->cv_pop.wait(lk, [&] {
@@ -115,13 +122,15 @@ int loader_next(void* handle, int* index_out, float* buf, uint32_t buf_frames,
 
   *index_out = it.index;
   *sr_out = it.sample_rate;
+  *ch_out = it.channels;
   if (it.frames < 0) {
     *frames_out = (uint32_t)(-it.frames);
     return it.frames;
   }
-  uint32_t n = (uint32_t)it.frames < buf_frames ? (uint32_t)it.frames : buf_frames;
-  memcpy(buf, it.data.data(), (size_t)n * sizeof(float));
-  *frames_out = n;
+  uint32_t values = (uint32_t)it.frames * it.channels;
+  if (values > buf_values) values = buf_values / it.channels * it.channels;
+  memcpy(buf, it.data.data(), (size_t)values * sizeof(float));
+  *frames_out = values / (it.channels ? it.channels : 1);
   return 0;
 }
 

@@ -141,3 +141,111 @@ def test_cli_no_inputs(tmp_path):
 
     rc = cli_main([str(tmp_path / "none/*.wav"), "--out-dir", str(tmp_path)])
     assert rc == 2
+
+
+# ---- fixes from the code-review pass ----------------------------------------
+def test_checkpoint_fingerprint_stable_across_processes(tmp_path):
+    """hash(cfg) is PYTHONHASHSEED-salted; the fingerprint must come from a
+    stable digest or cross-process resume always fails."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from mfcc_rust_tpu import speechpy_config;"
+        "from mfcc_rust_tpu.parallel.runner import _config_fingerprint;"
+        "print(_config_fingerprint(speechpy_config(16000), 10, 13))"
+    )
+    outs = {
+        subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                                       "JAX_PLATFORMS": "cpu"},
+                       ).stdout.strip().splitlines()[-1]
+        for seed in ("1", "2")
+    }
+    assert len(outs) == 1, f"fingerprint differs across hash seeds: {outs}"
+
+
+def test_runner_output_name_collisions(tmp_path, rng):
+    from mfcc_rust_tpu.parallel import make_mesh
+    from mfcc_rust_tpu.parallel.runner import CorpusRunner
+    from mfcc_rust_tpu.runtime import write_wav
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    clips = {}
+    for d in ["a", "b"]:
+        clip = rng.normal(0, 0.1, 8000).astype(np.float32).clip(-1, 1)
+        write_wav(str(tmp_path / d / "x.wav"), clip, 16000)
+        clips[d] = clip
+    out = tmp_path / "feats"
+    r = CorpusRunner([str(tmp_path / "a/x.wav"), str(tmp_path / "b/x.wav")],
+                     m.speechpy_config(16000), make_mesh(n_data=1, n_seq=1),
+                     batch_size=2, out_dir=str(out))
+    r.run()
+    names = sorted(p.name for p in out.glob("*.npy"))
+    assert names == ["x.npy", "x_000001.npy"]
+    a = np.load(out / "x.npy")
+    b = np.load(out / "x_000001.npy")
+    assert not np.array_equal(a, b)  # both utterances really written
+
+
+def test_loader_stereo_native(tmp_path, rng):
+    """Interleaved (mix_mono=False) multi-channel decode through the native
+    prefetch loader must not overflow and must return (frames, ch)."""
+    from mfcc_rust_tpu.runtime import AudioLoader, write_wav
+
+    stereo = rng.normal(0, 0.2, (48000, 2)).astype(np.float32).clip(-1, 1)
+    p = str(tmp_path / "st.wav")
+    write_wav(p, stereo, 16000)
+    items = list(AudioLoader([p], n_threads=1, mix_mono=False, max_seconds=10))
+    assert len(items) == 1
+    _, data, sr = items[0]
+    assert data.shape == (48000, 2) and sr == 16000
+    np.testing.assert_allclose(data, stereo, atol=1.0 / 10000)
+
+
+def test_fast_path_rejects_frame_longer_than_fft(rng):
+    """frame_size > fft_points must use the gather+truncation lowering and
+    match the golden (np.fft.rfft(n=...) truncation semantics)."""
+    from mfcc_rust_tpu.features import _fast_path_ok
+    from tests.golden import speechpy_ref as sp
+
+    cfg = m.FeatureConfig(sample_rate=16000, frame_length=0.04,
+                          frame_stride=0.008, dtype="float64")
+    assert cfg.frame_size == 640 > cfg.fft_points
+    assert not _fast_path_ok(cfg)
+    sig = rng.normal(0, 0.1, 16000)
+    gold = sp.mfcc(sig, 16000, frame_length=0.04, frame_stride=0.008)
+    ours = np.asarray(F.mfcc(jnp.asarray(sig), cfg))
+    assert ours.shape == gold.shape
+    np.testing.assert_allclose(ours, gold, rtol=1e-9, atol=1e-11)
+
+
+def test_vorbis_config_rejects_hop_gt_fft():
+    with pytest.raises(ValueError, match="fft_points"):
+        m.vorbis_config(16000, frame_length=0.05)  # hop 800 > 512
+
+
+def test_power_to_db_per_spectrogram(rng):
+    """Batched top_db clamps each spectrogram against its own max."""
+    from mfcc_rust_tpu.ops.spectrum import power_to_db
+
+    loud = np.abs(rng.normal(0, 100.0, (40, 50))) + 1.0
+    quiet = loud * 1e-6
+    batch = jnp.asarray(np.stack([loud, quiet]))
+    out = np.asarray(power_to_db(batch))
+    single = np.asarray(power_to_db(jnp.asarray(quiet)))
+    np.testing.assert_allclose(out[1], single, atol=1e-5)
+
+
+def test_loader_truncation_warning(tmp_path, rng):
+    from mfcc_rust_tpu.runtime import AudioLoader, write_wav
+
+    clip = rng.normal(0, 0.1, 32000).astype(np.float32).clip(-1, 1)
+    p = str(tmp_path / "long.wav")
+    write_wav(p, clip, 16000)
+    with pytest.warns(UserWarning, match="truncated"):
+        items = list(AudioLoader([p], max_seconds=1.0, max_sample_rate=16000))
+    assert items[0][1].shape == (16000,)
