@@ -71,3 +71,38 @@ def test_bucket_batch_groups():
         assert len(bl) == 1  # one bucket per batch
         assert len(b) <= 2
     assert sorted(i for b in batches for i in b) == list(range(6))
+
+
+def test_profiling_meter_and_costs():
+    import time
+
+    from mfcc_rust_tpu import speechpy_config
+    from mfcc_rust_tpu.utils.profiling import Meter, pipeline_costs, speed_of_light
+
+    meter = Meter()
+    with meter.measure(10.0, scope="extract"):
+        time.sleep(0.01)
+    assert meter.throughput > 0 and meter.batches == 1
+    rep = meter.report()
+    assert rep["audio_seconds"] == 10.0 and "extract" in rep["scopes"]
+
+    cfg = speechpy_config(16000)
+    costs = pipeline_costs(cfg)
+    assert costs["flops_per_audio_second"] > 1e7
+    sol = speed_of_light(cfg)
+    assert (
+        sol["speed_of_light_audio_s_per_s"]
+        <= sol["bandwidth_bound_fused_audio_s_per_s"]
+    )
+    assert sol["bandwidth_bound_fused_audio_s_per_s"] > sol["bandwidth_bound_unfused_audio_s_per_s"]
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from mfcc_rust_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path / "tr")):
+        with annotate("stage"):
+            jnp.ones(8).sum().block_until_ready()
+    assert any((tmp_path / "tr").rglob("*"))  # trace artifacts written
