@@ -110,6 +110,20 @@ def suite():
         ),
     )
 
+    # production fast mode: precision=high (3-pass MXU, ~1e-4 rel accuracy)
+    cfg_hi = FeatureConfig(sample_rate=16000, precision="high")
+    bh, th = 64, 160000
+    _emit(
+        "audio_seconds_per_sec_per_chip (MFCC-13, precision=high fast mode)",
+        _slope_timer(
+            lambda x: features.mfcc(x, cfg_hi).sum(),
+            lambda k: jnp.asarray(
+                rng.normal(0, 0.1, (k, bh, th)).astype(np.float32)
+            ),
+            bh * 10.0,
+        ),
+    )
+
     # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded batch
     cfg = FeatureConfig(sample_rate=16000)
     b3, t3 = 64, 160000

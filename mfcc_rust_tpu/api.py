@@ -37,6 +37,8 @@ def _speechpy_cfg(
     low_frequency=0,
     high_frequency=None,
     dc_elimination=True,
+    precision="highest",
+    dtype="float32",
 ) -> FeatureConfig:
     return FeatureConfig(
         sample_rate=int(sampling_frequency),
@@ -48,6 +50,8 @@ def _speechpy_cfg(
         low_frequency=float(low_frequency),
         high_frequency=None if high_frequency is None else float(high_frequency),
         dc_elimination=bool(dc_elimination),
+        precision=str(precision),
+        dtype=str(dtype),
     )
 
 
@@ -78,12 +82,14 @@ def _frames_nopad(cfg: FeatureConfig, true_len: int) -> int:
 # ------------------------------------------------------- speechpy-style API --
 def mfcc(signal, sampling_frequency, frame_length=0.020, frame_stride=0.01,
          num_cepstral=13, num_filters=40, fft_length=512, low_frequency=0,
-         high_frequency=None, dc_elimination=True, bucket=True):
+         high_frequency=None, dc_elimination=True, bucket=True,
+         precision="highest", dtype="float32"):
     """MFCC features, (..., num_frames, num_cepstral) — signature parity with
-    py-speechsauce/speechsauce/__init__.py:37-83."""
+    py-speechsauce/speechsauce/__init__.py:37-83 (plus keyword-only extras
+    ``precision``/``dtype``)."""
     cfg = _speechpy_cfg(sampling_frequency, frame_length, frame_stride,
                         num_cepstral, num_filters, fft_length, low_frequency,
-                        high_frequency, dc_elimination)
+                        high_frequency, dc_elimination, precision, dtype)
     sig, n = _prep(signal, cfg, bucket)
     out = _jitted("mfcc")(sig, cfg)
     return np.asarray(out)[..., : _frames_nopad(cfg, n), :]

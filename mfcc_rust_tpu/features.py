@@ -3,9 +3,12 @@
 TPU-native re-design of the reference feature layer
 (speechsauce/src/feature.rs): every pipeline is a pure function of
 ``(signal, FeatureConfig)`` where the config is a hashable static argument;
-under ``jax.jit`` the whole pipeline compiles to a handful of fused MXU GEMMs
-(framing gather -> windowed real-DFT matmul -> power -> mel matmul -> log ->
-DCT matmul).  All functions accept arbitrary leading batch dimensions — the
+under ``jax.jit`` the whole pipeline compiles to a handful of fused MXU GEMMs.
+The default lowering never materializes the frame matrix: framing folds into
+the DFT GEMMs via the chunk identity (``_chunk_gemm``), the DFT is trimmed to
+the mel filterbank's support, frame energies come from Parseval columns in
+the same GEMM, and large transforms use the Cooley-Tukey GEMM factorization
+(ops/fft.py).  All functions accept arbitrary leading batch dimensions — the
 batched variants the reference hand-writes (``stft2``/``mel_spectrogram2``,
 feature.rs:163-174) fall out of broadcasting for free.
 
