@@ -9,4 +9,5 @@ from .pipelines import (  # noqa: F401
     Pipeline,
     SSCPipeline,
     StreamingExtractor,
+    StreamingFeatures,
 )

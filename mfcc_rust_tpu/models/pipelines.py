@@ -96,6 +96,59 @@ class FeatureExtractor:
         return self.mfcc(signal)
 
 
+class StreamingFeatures:
+    """Streaming MFCC / log-FBE / MFE session with speechpy framing
+    semantics (something the reference cannot do at all: its mfcc path is
+    batch-only, feature.rs:94-148).
+
+    Feed arbitrary-length chunks; frames are emitted as soon as complete.
+    The session is *exactly* batch-equivalent: after feeding a total of L
+    samples, the concatenated emissions equal ``features.<feature>(x[:L])``
+    — including speechpy's no-padding frame-count quirk (the trailing frame
+    that `floor((L-fl)/hop)` drops is never emitted)."""
+
+    def __init__(self, cfg: Optional[FeatureConfig] = None,
+                 sample_rate: int = 16000, feature: str = "mfcc"):
+        if feature not in ("mfcc", "lmfe", "mfe"):
+            raise ValueError(f"unsupported streaming feature {feature!r}")
+        self.cfg = cfg if cfg is not None else FeatureConfig(sample_rate=sample_rate)
+        self.feature = feature
+        self._fn = jax.jit(functools.partial(getattr(F, feature), cfg=self.cfg))
+        self.reset()
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, dtype=self.cfg.dtype)
+        self._seen = 0
+        self._emitted = 0
+
+    def _frames_ready(self, total: int) -> int:
+        fl, hop = self.cfg.frame_size, self.cfg.frame_step
+        return max(0, (total - fl) // hop)
+
+    def process(self, chunk):
+        """Feed samples; returns the newly completed frames (possibly
+        zero-length)."""
+        chunk = np.asarray(chunk, dtype=self.cfg.dtype)
+        self._buf = np.concatenate([self._buf, chunk])
+        self._seen += len(chunk)
+        ready = self._frames_ready(self._seen)
+        n_new = ready - self._emitted
+        fl, hop = self.cfg.frame_size, self.cfg.frame_step
+        if n_new <= 0:
+            d = self.cfg.num_cepstral if self.feature == "mfcc" else self.cfg.num_filters
+            empty = np.zeros((0, d), dtype=self.cfg.dtype)
+            return (empty, np.zeros(0, self.cfg.dtype)) if self.feature == "mfe" else empty
+        # exactly n_new frames: length n_new*hop + fl reproduces the batch
+        # floor-count on this slice
+        need = n_new * hop + fl
+        out = self._fn(jnp.asarray(self._buf[:need]))
+        self._buf = self._buf[n_new * hop :]
+        self._emitted = ready
+        if self.feature == "mfe":
+            return np.asarray(out[0]), np.asarray(out[1])
+        return np.asarray(out)
+
+
 class StreamingExtractor:
     """Explicit-carry streaming mel/power extraction session.
 

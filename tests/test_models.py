@@ -1,6 +1,7 @@
 """Pipeline objects and the explicit-carry streaming session."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 import mfcc_rust_tpu as m
@@ -62,3 +63,53 @@ def test_streaming_session_reset(rng):
     sess.reset()
     b = sess.process(sig)
     np.testing.assert_array_equal(a, b)
+
+
+class TestStreamingFeatures:
+    def test_streaming_mfcc_equals_batch(self, rng):
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        cfg = m.speechpy_config(16000).replace(dtype="float64")
+        sig = rng.normal(0, 0.1, 16000)
+        sess = StreamingFeatures(cfg)
+        outs = []
+        # ragged chunk sizes incl. ones smaller than a frame
+        cuts = [0, 100, 413, 1000, 5000, 5003, 12000, 16000]
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            outs.append(sess.process(sig[a:b]))
+        stream = np.concatenate(outs, axis=0)
+        batch = np.asarray(F.mfcc(jnp.asarray(sig), cfg))
+        assert stream.shape == batch.shape
+        np.testing.assert_allclose(stream, batch, rtol=1e-12, atol=1e-13)
+
+    def test_streaming_lmfe_and_mfe(self, rng):
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        cfg = m.speechpy_config(16000).replace(dtype="float64")
+        sig = rng.normal(0, 0.1, 8000)
+        s1 = StreamingFeatures(cfg, feature="lmfe")
+        out = np.concatenate([s1.process(sig[:3000]), s1.process(sig[3000:])], 0)
+        np.testing.assert_allclose(out, np.asarray(F.lmfe(jnp.asarray(sig), cfg)),
+                                   rtol=1e-12, atol=1e-13)
+        s2 = StreamingFeatures(cfg, feature="mfe")
+        f1, e1 = s2.process(sig[:4096])
+        f2, e2 = s2.process(sig[4096:])
+        bf, be = F.mfe(jnp.asarray(sig), cfg)
+        np.testing.assert_allclose(np.concatenate([f1, f2]), np.asarray(bf),
+                                   rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(np.concatenate([e1, e2]), np.asarray(be),
+                                   rtol=1e-12, atol=1e-13)
+
+    def test_short_feed_emits_nothing_then_resumes(self, rng):
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        sess = StreamingFeatures(m.speechpy_config(16000))
+        assert sess.process(np.zeros(100, np.float32)).shape == (0, 13)
+        out = sess.process(rng.normal(0, 0.1, 2000).astype(np.float32))
+        assert out.shape[0] == (2100 - 320) // 160
+
+    def test_rejects_unknown_feature(self):
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        with pytest.raises(ValueError):
+            StreamingFeatures(m.speechpy_config(16000), feature="ssc")
