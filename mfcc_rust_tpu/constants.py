@@ -341,3 +341,51 @@ def constant_bundle(cfg) -> dict:
     functional analogue of the reference's ``cached`` filterbank store,
     feature.rs:19-23)."""
     return _bundle_cached(cfg)
+
+
+def chunk_gemm_wall(cfg, want_energy: bool, lane_align: Optional[int] = None) -> dict:
+    """The combined per-shift GEMM constant shared by the chunked fast paths
+    (features._chunked_mel_energy and the Pallas fused kernel — single
+    source of truth so the two lowerings cannot desynchronize):
+
+    columns ``[C_trim | S_trim (| w | ±w)]`` where C/S are the windowed DFT
+    matrices trimmed to the filterbank support and the optional w/±w columns
+    are the Parseval frame-energy terms.  With ``lane_align`` the C and S
+    column groups are zero-padded to that multiple (TPU lane alignment for
+    in-kernel slicing) and the total width padded likewise.
+
+    Returns dict(wall (fl, W) float64, kmax, kpad, r, fl, hop, w, w2) where
+    xr = out[..., :kpad], xi = out[..., kpad:2*kpad], and when want_energy
+    s0 = out[..., 2*kpad], s1 = out[..., 2*kpad+1]; w2 is the squared window
+    reshaped (r, hop) for the sum-of-squares Parseval term.
+    """
+    bundle = constant_bundle(cfg)
+    kmax = bundle["fbank_kmax"]
+    c64, s64 = bundle["dft_windowed" if cfg.window != "rect" else "dft"]
+    win = bundle["window"]
+    fl = c64.shape[0]
+    hop = cfg.frame_step
+    if fl % hop != 0:
+        raise ValueError(f"chunked lowering requires hop {hop} | frame {fl}")
+    r = fl // hop
+
+    def _align(x: int) -> int:
+        return x if lane_align is None else ((x + lane_align - 1) // lane_align) * lane_align
+
+    kpad = _align(kmax)
+    c = np.zeros((fl, kpad))
+    s = np.zeros((fl, kpad))
+    c[:, :kmax] = c64[:, :kmax]
+    s[:, :kmax] = s64[:, :kmax]
+    cols = [c, s]
+    w = win[:fl] if cfg.window != "rect" else np.ones(fl)
+    if want_energy:
+        alt = w * ((-1.0) ** np.arange(fl))
+        cols += [w[:, None], alt[:, None]]
+    wall = np.concatenate(cols, axis=1)
+    if lane_align is not None and wall.shape[1] % lane_align:
+        wall = np.pad(wall, [(0, 0), (0, _align(wall.shape[1]) - wall.shape[1])])
+    return {
+        "wall": wall, "kmax": kmax, "kpad": kpad, "r": r, "fl": fl,
+        "hop": hop, "w": w, "w2": (w * w).reshape(r, hop),
+    }

@@ -100,15 +100,16 @@ def _chunked_mel_energy(
     """
     import numpy as np
 
+    from .constants import chunk_gemm_wall
+
     if cfg.preemphasis_cof:
         signal = _framing.preemphasis(signal, 1, cfg.preemphasis_cof)
     bundle = constant_bundle(cfg)
     kmax = bundle["fbank_kmax"]
-    c64, s64 = bundle["dft_windowed" if cfg.window != "rect" else "dft"]
-    win = bundle["window"]
-    fl = c64.shape[0]
-    hop = cfg.frame_step
-    r = fl // hop
+    wd = chunk_gemm_wall(cfg, want_energy)
+    fl = wd["fl"]
+    hop = wd["hop"]
+    r = wd["r"]
     n = cfg.fft_points
     t = signal.shape[-1]
     if n_frames is None:
@@ -122,15 +123,8 @@ def _chunked_mel_energy(
             return empty, e, empty
         return empty, e
 
-    # assemble the combined GEMM matrix: [C_trim | S_trim | w | ±w]
-    cols = [c64[:, :kmax], s64[:, :kmax]]
-    if want_energy:
-        w = win[:fl] if cfg.window != "rect" else np.ones(fl)
-        alt = w * ((-1.0) ** np.arange(fl))
-        cols += [w[:, None], alt[:, None]]
-    wall = np.concatenate(cols, axis=1)
-
-    ch, y = _chunk_gemm(signal, wall, n_frames, hop, cfg.precision)
+    # combined GEMM matrix [C_trim | S_trim | w | ±w] (shared builder)
+    ch, y = _chunk_gemm(signal, wd["wall"], n_frames, hop, cfg.precision)
     xr = y[..., :kmax]
     xi = y[..., kmax : 2 * kmax]
     power = (xr * xr + xi * xi) * (1.0 / n)
@@ -141,10 +135,7 @@ def _chunked_mel_energy(
     if want_energy:
         s0 = y[..., 2 * kmax]
         s1 = y[..., 2 * kmax + 1]
-        if cfg.window != "rect":
-            w2 = jnp.asarray((win[:fl] ** 2).reshape(r, hop), signal.dtype)
-        else:
-            w2 = jnp.ones((r, hop), signal.dtype)
+        w2 = jnp.asarray(wd["w2"], signal.dtype)
         sq = ch * ch
         s2 = None
         for s in range(r):
@@ -296,8 +287,6 @@ def _librosa_ct_mel(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     framing straight into the Cooley-Tukey (N2, N1) plane, CT GEMM stages
     with the mel filterbank bin-permuted onto the CT output layout — no
     frame gather, no spectrum transpose (see ops/fft.py)."""
-    import numpy as np
-
     from .ops.fft import ct_power_project, good_factorization, permute_weights_for_ct
 
     n = cfg.fft_points

@@ -107,11 +107,24 @@ class StreamingFeatures:
     — including speechpy's no-padding frame-count quirk (the trailing frame
     that `floor((L-fl)/hop)` drops is never emitted)."""
 
+    #: emission counts are padded up to these bucket sizes so ragged chunk
+    #: schedules reuse a handful of compiled shapes instead of one per n_new
+    EMIT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
     def __init__(self, cfg: Optional[FeatureConfig] = None,
                  sample_rate: int = 16000, feature: str = "mfcc"):
         if feature not in ("mfcc", "lmfe", "mfe"):
             raise ValueError(f"unsupported streaming feature {feature!r}")
         self.cfg = cfg if cfg is not None else FeatureConfig(sample_rate=sample_rate)
+        if self.cfg.preemphasis_cof:
+            # np.roll wrap semantics make pre-emphasis depend on the LAST
+            # sample of the whole signal — inherently un-streamable; apply
+            # preemphasis to the full signal first, or use the batch API
+            raise ValueError(
+                "preemphasis_cof != 0 cannot be streamed exactly (its np.roll"
+                " wrap couples the first sample to the signal's end); "
+                "pre-emphasize the signal before streaming instead"
+            )
         self.feature = feature
         self._fn = jax.jit(functools.partial(getattr(F, feature), cfg=self.cfg))
         self.reset()
@@ -138,15 +151,19 @@ class StreamingFeatures:
             d = self.cfg.num_cepstral if self.feature == "mfcc" else self.cfg.num_filters
             empty = np.zeros((0, d), dtype=self.cfg.dtype)
             return (empty, np.zeros(0, self.cfg.dtype)) if self.feature == "mfe" else empty
-        # exactly n_new frames: length n_new*hop + fl reproduces the batch
-        # floor-count on this slice
-        need = n_new * hop + fl
-        out = self._fn(jnp.asarray(self._buf[:need]))
+        # pad the emission count up to a bucket so the jit cache stays small
+        # under ragged chunk schedules; zero-padded tail frames are discarded
+        n_b = next((b for b in self.EMIT_BUCKETS if b >= n_new), n_new)
+        need = n_b * hop + fl
+        sl = self._buf[:need]
+        if len(sl) < need:
+            sl = np.concatenate([sl, np.zeros(need - len(sl), self.cfg.dtype)])
+        out = self._fn(jnp.asarray(sl))
         self._buf = self._buf[n_new * hop :]
         self._emitted = ready
         if self.feature == "mfe":
-            return np.asarray(out[0]), np.asarray(out[1])
-        return np.asarray(out)
+            return np.asarray(out[0])[:n_new], np.asarray(out[1])[:n_new]
+        return np.asarray(out)[:n_new]
 
 
 class StreamingExtractor:

@@ -58,35 +58,21 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=16)
 def _kernel_constants(cfg: FeatureConfig):
-    """Lane-aligned numpy constants: combined per-shift GEMM blocks
-    [C_trim | S_trim | w | ±w] padded so xr/xi slices are 128-aligned,
-    the trimmed+padded melbank, and the DCT matrix."""
-    bundle = constant_bundle(cfg)
-    kmax = bundle["fbank_kmax"]
-    kpad = _round_up(kmax, 128)
-    c64, s64 = bundle["dft_windowed" if cfg.window != "rect" else "dft"]
-    win = bundle["window"]
-    fl = c64.shape[0]
-    hop = cfg.frame_step
-    r = fl // hop
+    """Lane-aligned numpy constants from the SHARED chunk-GEMM wall builder
+    (constants.chunk_gemm_wall — same math as the XLA fast path, so the two
+    lowerings cannot desynchronize), split into per-shift blocks, plus the
+    trimmed+padded melbank and the DCT matrix."""
+    from ...constants import chunk_gemm_wall
 
-    c = np.zeros((fl, kpad))
-    s = np.zeros((fl, kpad))
-    c[:, :kmax] = c64[:, :kmax]
-    s[:, :kmax] = s64[:, :kmax]
-    w = win[:fl] if cfg.window != "rect" else np.ones(fl)
-    alt = w * ((-1.0) ** np.arange(fl))
-    # columns: [C kpad | S kpad | w | alt | pad to lane multiple]
-    wall = np.concatenate([c, s, w[:, None], alt[:, None]], axis=1)
-    wall = np.pad(wall, [(0, 0), (0, _round_up(wall.shape[1], 128) - wall.shape[1])])
+    bundle = constant_bundle(cfg)
+    wd = chunk_gemm_wall(cfg, want_energy=True, lane_align=128)
+    kmax, kpad, r, fl, hop = wd["kmax"], wd["kpad"], wd["r"], wd["fl"], wd["hop"]
     wall_blocks = [
-        np.ascontiguousarray(wall[i * hop : (i + 1) * hop]).astype(np.float32)
+        np.ascontiguousarray(wd["wall"][i * hop : (i + 1) * hop]).astype(np.float32)
         for i in range(r)
     ]
     w2_blocks = [
-        np.ascontiguousarray((w[i * hop : (i + 1) * hop] ** 2)[None, :]).astype(
-            np.float32
-        )
+        np.ascontiguousarray(wd["w2"][i][None, :]).astype(np.float32)
         for i in range(r)
     ]
     fbt = np.zeros((kpad, cfg.num_filters))

@@ -124,17 +124,23 @@ class CorpusRunner:
         # host shard of the corpus
         self.indices = list(range(process_index, len(self.all_paths), process_count))
         self.max_seconds = max_seconds
-        # Deterministic, collision-free output names: first path to claim a
-        # stem keeps it; later same-named files get an index suffix (same
-        # mapping on every restart, so resume stays idempotent).
+        # Deterministic, collision-free output names: first pass claims every
+        # natural stem for its first occurrence; second pass gives duplicates
+        # an index suffix, bumping further if the suffixed name happens to
+        # collide with another file's natural stem.  Same mapping on every
+        # restart, so resume stays idempotent.
         self._out_names = {}
         claimed = {}
         for i, p in enumerate(self.all_paths):
+            claimed.setdefault(Path(p).stem, i)
+        used = set()
+        for i, p in enumerate(self.all_paths):
             stem = Path(p).stem
-            if claimed.setdefault(stem, i) == i:
-                self._out_names[i] = f"{stem}.npy"
-            else:
-                self._out_names[i] = f"{stem}_{i:06d}.npy"
+            name = stem if claimed[stem] == i else f"{stem}_{i:06d}"
+            while name in claimed and claimed.get(name) != i or name in used:
+                name += "_"
+            used.add(name)
+            self._out_names[i] = f"{name}.npy"
         self.cfg = cfg if cfg is not None else FeatureConfig(sample_rate=16000)
         self.mesh = mesh if mesh is not None else make_mesh(n_seq=1)
         # Multi-host model: each host runs its OWN runner over its file slice

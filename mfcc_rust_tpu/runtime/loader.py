@@ -17,8 +17,6 @@ class AudioLoader:
     consumer.  The native backend keeps host CPUs saturated while the device
     computes; the fallback decodes inline."""
 
-    MAX_CHANNELS = 16  # consumer buffer headroom for interleaved output
-
     def __init__(
         self,
         paths: List[str],
@@ -36,6 +34,18 @@ class AudioLoader:
         self.max_frames = int(max_seconds * max_sample_rate)
         self.warn_truncated = warn_truncated
         self._lib = load_native()
+        # interleaved mode: size the consumer buffer from the corpus's actual
+        # max channel count (header probe is cheap) instead of a fixed
+        # worst-case that wastes memory and silently truncates wide files
+        self._max_ch = 1
+        if not mix_mono:
+            from .wav import wav_info
+
+            for p in self.paths:
+                try:
+                    self._max_ch = max(self._max_ch, wav_info(p).channels)
+                except IOError:
+                    pass  # decode errors surface later with a real message
 
     def _maybe_warn(self, idx: int, frames: int) -> None:
         if self.warn_truncated and frames >= self.max_frames:
@@ -58,7 +68,7 @@ class AudioLoader:
             arr, len(self.paths), self.n_threads, self.capacity,
             1 if self.mix_mono else 0, self.max_frames,
         )
-        buf_values = self.max_frames * (1 if self.mix_mono else self.MAX_CHANNELS)
+        buf_values = self.max_frames * (1 if self.mix_mono else self._max_ch)
         buf = np.empty(buf_values, dtype=np.float32)
         idx = ctypes.c_int()
         frames = ctypes.c_uint32()

@@ -64,13 +64,15 @@ struct Loader {
       int prc = wav_probe(paths[i].c_str(), &info);
       it.sample_rate = prc == 0 ? info.sample_rate : 0;
       // interleaved output is frames*channels floats — size the buffer for
-      // the full frame width or a multi-channel file overruns it
-      uint32_t ch = (!mix_mono && prc == 0 && info.channels > 0)
-                        ? info.channels : 1;
+      // the full frame width or a multi-channel file overruns it.  If the
+      // probe failed the channel count is unknown, so force a mono mixdown
+      // for this item (a later successful read must not overrun the buffer).
+      int effective_mix = mix_mono || prc != 0;
+      uint32_t ch = (!effective_mix && info.channels > 0) ? info.channels : 1;
       it.channels = ch;
       it.data.resize((size_t)max_frames * ch);
       it.frames = wav_read_f32(paths[i].c_str(), it.data.data(), max_frames,
-                               mix_mono);
+                               effective_mix ? 1 : 0);
       if (it.frames > 0) it.data.resize((size_t)it.frames * ch);
       std::unique_lock<std::mutex> lk(mu);
       cv_push.wait(lk, [&] { return queue.size() < capacity || stopping; });

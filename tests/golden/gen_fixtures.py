@@ -32,6 +32,10 @@ def fixture_inputs():
     return sig16, clip22, feat
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def compute_all():
     sig16, clip22, feat = fixture_inputs()
     return {
