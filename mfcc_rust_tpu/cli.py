@@ -23,7 +23,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("inputs", nargs="+",
                    help="WAV files or globs (e.g. 'corpus/**/*.wav')")
     p.add_argument("--feature", default="mfcc",
-                   choices=["mfcc", "lmfe", "mfe", "melspec"])
+                   choices=["mfcc", "lmfe", "mfe", "ssc", "melspec"])
     p.add_argument("--sample-rate", type=int, default=16000)
     p.add_argument("--fft-points", type=int, default=512)
     p.add_argument("--frame-length", type=float, default=0.020)

@@ -58,8 +58,32 @@ def _local_features(
     n_valid = jnp.floor((lengths - cfg.frame_size) / hop).astype(jnp.int32)
     mask = gidx[None, :] < n_valid[:, None]  # (Bl, Fl)
 
-    if feature not in ("mfcc", "lmfe", "mfe"):
+    if feature not in ("mfcc", "lmfe", "mfe", "ssc"):
         raise ValueError(f"unknown feature {feature!r}")
+
+    if feature == "ssc":
+        import numpy as np
+
+        from ..features import _chunked_mel_energy, _fast_path_ok
+        from ..ops.ssc import ssc_from_power
+
+        halo_len = min(cfg.frame_size, cfg.fft_points) - hop
+        right = halo._right_halo(signals, halo_len, SEQ_AXIS)
+        full = jnp.concatenate([signals, right], axis=-1)
+        if _fast_path_ok(cfg) and cfg.window == "rect":
+            ramp = np.linspace(1.0, cfg.sample_rate / 2.0, cfg.freq_size)
+            num, _, den = _chunked_mel_energy(
+                full, cfg, want_energy=False, spectral_weight=ramp,
+                n_frames=n_local,
+            )
+            feats = num / den
+        else:
+            power = halo.sharded_power_spectrum(signals, cfg, SEQ_AXIS)
+            feats = ssc_from_power(power, cfg)
+        moments = psum_moments(
+            local_moments(feats, mask.astype(feats.dtype)), (DATA_AXIS, SEQ_AXIS)
+        )
+        return feats, mask, moments
 
     if _fast_path_ok(cfg) and cfg.window == "rect":
         # same chunk-GEMM lowering as the single-chip fast path, run on the

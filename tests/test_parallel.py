@@ -163,3 +163,23 @@ def test_extraction_step_melspec(rng):
     np.testing.assert_allclose(
         np.swapaxes(laid_out, -1, -2), batch, rtol=1e-4, atol=1e-6
     )
+
+
+def test_extraction_step_ssc(rng):
+    """Sharded SSC == single-device ssc on valid frames; psum'd moments."""
+    mesh = make_mesh(n_data=2, n_seq=2)
+    cfg = m.speechpy_config(16000)
+    hop = cfg.frame_step
+    t = hop * 80
+    b = 4
+    sigs = rng.normal(0, 0.1, (b, t)).astype(np.float32)
+    lengths = np.full(b, t)
+    feats, mask, moments = extraction_step(sigs, lengths, cfg, mesh, "ssc")
+    feats, mask = np.asarray(feats), np.asarray(mask)
+    assert feats.shape == (b, t // hop, cfg.num_filters)
+    n_valid = int(np.floor((t - cfg.frame_size) / hop))
+    single = np.asarray(F.ssc(jnp.asarray(sigs), cfg))
+    np.testing.assert_allclose(
+        feats[:, :n_valid], single[:, :n_valid], rtol=2e-3, atol=2e-1
+    )
+    assert int(moments.count) == b * n_valid
