@@ -124,3 +124,20 @@ def test_processing_facade(rng):
     lps = m.log_power_spectrum(frames, 512)
     gold_lps = sp.log_power_spectrum(gold, 512)
     np.testing.assert_allclose(lps, gold_lps, rtol=1e-3, atol=1e-3)
+
+
+def test_bucketing_bounds_jit_cache(rng):
+    """Many distinct input lengths must reuse a small set of compiled shapes
+    (the lru_cache(32)-config analogue for ragged lengths)."""
+    from mfcc_rust_tpu.api import _jitted
+    from mfcc_rust_tpu.utils.bucketing import bucket_length
+
+    fn = _jitted("mfcc")
+    before = fn._cache_size()
+    lengths = [15000 + 37 * i for i in range(25)]
+    for n in lengths:
+        m.mfcc(rng.normal(0, 0.1, n).astype(np.float32), 16000)
+    added = fn._cache_size() - before
+    distinct_buckets = len({bucket_length(n) for n in lengths})
+    assert added <= distinct_buckets + 1
+    assert added < len(lengths) / 2
