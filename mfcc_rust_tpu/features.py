@@ -125,33 +125,71 @@ def _chunked_mel_energy(
 
     # combined GEMM matrix [C_trim | S_trim | w | ±w] (shared builder)
     ch, y = _chunk_gemm(signal, wd["wall"], n_frames, hop, cfg.precision)
+
+    if spectral_weight is None:
+        # mel projection without materializing the power spectrum: since
+        # mel_m = sum_k fb[m,k]*(xr_k^2 + xi_k^2)/n, square the WHOLE GEMM
+        # output (no lane slicing at the unaligned kmax offset — Mosaic
+        # relayouts there cost more than the extra GEMM columns) and project
+        # with fb/n stacked over both the cos and sin column blocks; the w/±w
+        # energy columns carry zero weight.
+        fb_n = bundle["fbank"][:, :kmax].T / n
+        fb2 = np.zeros((wd["wall"].shape[1], m))
+        fb2[:kmax] = fb_n
+        fb2[kmax : 2 * kmax] = fb_n
+        sq = y * y
+        feats = zero_handling(
+            jnp.matmul(sq, jnp.asarray(fb2, signal.dtype), precision=cfg.precision)
+        )
+        energies = None
+        if want_energy:
+            s0 = y[..., 2 * kmax]
+            s1 = y[..., 2 * kmax + 1]
+            energies = _parseval_energies(ch, s0, s1, wd, n, n_frames, cfg)
+        return feats, energies
+
+    # SSC branch: the zero-replacement on the power spectrum is per-bin, so
+    # the power must materialize here (cold path — ssc only)
     xr = y[..., :kmax]
     xi = y[..., kmax : 2 * kmax]
     power = (xr * xr + xi * xi) * (1.0 / n)
-
     fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signal.dtype)
-
     energies = None
     if want_energy:
-        s0 = y[..., 2 * kmax]
-        s1 = y[..., 2 * kmax + 1]
-        w2 = jnp.asarray(wd["w2"], signal.dtype)
-        sq = ch * ch
-        s2 = None
-        for s in range(r):
-            part = jnp.sum(sq[..., s : s + n_frames, :] * w2[s], axis=-1)
-            s2 = part if s2 is None else s2 + part
-        energies = zero_handling((n * s2 + s0 * s0 + s1 * s1) / (2.0 * n))
+        energies = _parseval_energies(
+            ch, y[..., 2 * kmax], y[..., 2 * kmax + 1], wd, n, n_frames, cfg
+        )
+    rw = jnp.asarray(spectral_weight[:kmax], signal.dtype)
+    eps = float(np.finfo(np.float64).eps)
+    pz = jnp.where(power == 0.0, jnp.asarray(eps, power.dtype), power)
+    num = jnp.matmul(pz * rw, fbt, precision=cfg.precision)
+    den = jnp.matmul(pz, fbt, precision=cfg.precision)
+    return num, energies, den
 
-    if spectral_weight is not None:
-        rw = jnp.asarray(spectral_weight[:kmax], signal.dtype)
-        eps = float(np.finfo(np.float64).eps)
-        pz = jnp.where(power == 0.0, jnp.asarray(eps, power.dtype), power)
-        num = jnp.matmul(pz * rw, fbt, precision=cfg.precision)
-        den = jnp.matmul(pz, fbt, precision=cfg.precision)
-        return num, energies, den
-    feats = zero_handling(jnp.matmul(power, fbt, precision=cfg.precision))
-    return feats, energies
+
+def _parseval_energies(ch, s0, s1, wd, n, n_frames, cfg):
+    """Exact frame energies from the Parseval identity (see
+    :func:`_chunked_mel_energy`): sum of x^2*w^2 per frame via per-chunk
+    reductions plus the s0/s1 boundary terms from the GEMM columns."""
+    import numpy as np
+
+    r = wd["r"]
+    w2 = wd["w2"]  # (r, hop)
+    if np.all(w2 == 1.0):
+        # rect window: one fused square+reduce pass over the chunks
+        # (identical grouping to the per-shift form: inner sum over the
+        # hop axis, then shifts added in ascending order)
+        cs2 = jnp.sum(ch * ch, axis=-1)  # (..., n_chunks)
+        parts = [cs2[..., s : s + n_frames] for s in range(r)]
+    else:
+        # windowed: per-(chunk, shift) weighted sums as one tiny GEMM
+        # (..., n_chunks, hop) @ (hop, r) instead of r full passes
+        p = jnp.matmul(ch * ch, jnp.asarray(w2.T, ch.dtype), precision=cfg.precision)
+        parts = [p[..., s : s + n_frames, s] for s in range(r)]
+    s2 = parts[0]
+    for part in parts[1:]:
+        s2 = s2 + part
+    return zero_handling((n * s2 + s0 * s0 + s1 * s1) / (2.0 * n))
 
 
 def mfe(signal: jnp.ndarray, cfg: FeatureConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -216,17 +254,20 @@ def mel_spectrogram(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     if resolve_fft_impl(cfg) == "matmul":
         # mel output only sees the filterbank's frequency support: trim the
         # windowed-DFT GEMM to kmax bins and project before the n_pad layout
+        import numpy as np
+
         bundle = constant_bundle(cfg)
         kmax = bundle["fbank_kmax"]
         c64, s64 = bundle["dft_windowed"]
         frames = _stft._vorbis_frames(signal, cfg)
-        c = jnp.asarray(c64[:, :kmax], signal.dtype)
-        s = jnp.asarray(s64[:, :kmax], signal.dtype)
-        xr = jnp.matmul(frames, c, precision=cfg.precision)
-        xi = jnp.matmul(frames, s, precision=cfg.precision)
-        power = (xr * xr + xi * xi) * (cfg.wnorm * cfg.wnorm)
-        fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signal.dtype)
-        mel = jnp.matmul(power, fbt, precision=cfg.precision)
+        # one [C|S] DFT GEMM, squared whole (no unaligned kmax slicing), then
+        # the filterbank stacked over both blocks with wnorm^2 folded in
+        wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
+        y = jnp.matmul(frames, jnp.asarray(wall, signal.dtype), precision=cfg.precision)
+        fb2 = np.concatenate(
+            [bundle["fbank"][:, :kmax].T * (cfg.wnorm * cfg.wnorm)] * 2, axis=0
+        )
+        mel = jnp.matmul(y * y, jnp.asarray(fb2, signal.dtype), precision=cfg.precision)
         mel = _stft._apply_npad_layout(mel, cfg)
         return jnp.swapaxes(mel, -1, -2)
     power = _stft.stft_vorbis_power(signal, cfg)
@@ -255,10 +296,19 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
 
             wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
             _, y = _chunk_gemm(signal, wall, count, hop, cfg.precision)
+            if cfg.power == 2.0:
+                # no lane slicing at the unaligned kmax offset: square the
+                # whole GEMM output and stack the filterbank over both the
+                # cos and sin blocks (librosa: no 1/N scaling)
+                fb2 = np.concatenate(
+                    [bundle["fbank"][:, :kmax].T] * 2, axis=0
+                )
+                mel = jnp.matmul(
+                    y * y, jnp.asarray(fb2, signal.dtype), precision=cfg.precision
+                )
+                return jnp.swapaxes(mel, -1, -2)
             xr, xi = y[..., :kmax], y[..., kmax:]
-            power = xr * xr + xi * xi  # librosa: no 1/N scaling
-            if cfg.power != 2.0:
-                power = power ** (cfg.power / 2.0)
+            power = (xr * xr + xi * xi) ** (cfg.power / 2.0)
             fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signal.dtype)
             mel = jnp.matmul(power, fbt, precision=cfg.precision)
             return jnp.swapaxes(mel, -1, -2)

@@ -13,9 +13,12 @@ Decimation-in-time with n = n1 + N1·n2:
     z(n1, r)      = inner(n1, r) · W_N^{n1 r}                      (twiddle)
     X[r + N2 k1]  = sum_{n1} z(n1, r) · W_{N1}^{n1 k1}             (GEMM 2)
 
-Real input keeps stage 1 at two real GEMMs; stage 2 is a complex GEMM (four
-real GEMMs) over k1 ≤ N1/2 only, and the (k1, r) output plane flattens
-directly to the contiguous rFFT bin index k = N2·k1 + r.
+Real input keeps stage 1 at one stacked real GEMM ((2·N2, N2), real and
+imag on the sublane axis); stage 2's complex DFT is a single merged GEMM
+([zr | zi] @ [[c1, s1], [-s1, c1]], contraction 2·N1 = 256 lanes-aligned)
+over k1 ≤ N1/2 only — exactly (256, 128) when the consumer's Nyquist weight
+is zero — and the (k1, r) output plane flattens directly to the contiguous
+rFFT bin index k = N2·k1 + r.
 """
 
 from __future__ import annotations
@@ -94,37 +97,65 @@ def rfft_ct(
     return xr[..., :k], xi[..., :k]
 
 
+@functools.lru_cache(maxsize=16)
+def _ct_stage_matrices(n: int, n1: int, n2: int, k1max: int):
+    """MXU-aligned merged stage matrices: stage 1 stacks the real/imag inner
+    DFTs on the output (sublane) axis — one (2*N2, N2) GEMM instead of two;
+    stage 2 merges the four real GEMMs of the complex outer DFT into one
+    (2*N1, 2*k1max) GEMM ([zr | zi] @ [[c1, s1], [-s1, c1]]) so the
+    contraction is 2*N1 (=256 for the preferred factorization) and the lane
+    width 2*k1max — exactly 128/256 when the Nyquist column is trimmed."""
+    c2, s2, c1, s1, _, _ = _ct_constants(n, n1, n2)
+    stage1 = np.concatenate([c2.T, s2.T], axis=0)  # (2*n2, n2)
+    c1t, s1t = c1[:, :k1max], s1[:, :k1max]
+    stage2 = np.concatenate(
+        [
+            np.concatenate([c1t, s1t], axis=1),
+            np.concatenate([-s1t, c1t], axis=1),
+        ],
+        axis=0,
+    )  # (2*n1, 2*k1max)
+    return stage1, stage2
+
+
 def _ct_stages(
-    x: jnp.ndarray, n_fft: int, n1: int, n2: int, precision: str
+    x: jnp.ndarray,
+    n_fft: int,
+    n1: int,
+    n2: int,
+    precision: str,
+    k1max: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Core CT pipeline on (..., N2, N1)-shaped frames; returns the rFFT in
     the native (..., N2=r, K1=k1) plane (bin k = N2*k1 + r; entries with
     k1 == N1/2 and r > 0 alias bins above N/2 and must be dropped or
-    zero-weighted by the consumer).
+    zero-weighted by the consumer).  ``k1max`` trims the outer-DFT output to
+    the first k1max columns (pass n1//2 to drop the Nyquist plane when its
+    weights are zero, aligning the stage-2 GEMM lanes exactly).
 
     Layout note: every tensor keeps N1 (=128 for the preferred
     factorization) as the minor-most axis — stage 1 is a *left* matmul so no
     transposes are needed anywhere in the hot loop."""
+    if k1max is None:
+        k1max = n1 // 2 + 1
     dt = x.dtype
-    c2, s2, c1, s1, twr, twi = (
-        jnp.asarray(a, dt) for a in _ct_constants(n_fft, n1, n2)
-    )
-    c2t, s2t = c2.T, s2.T  # (r, n2)
-    # stage 1: inner DFT over n2 via left matmul -> (..., N2=r, N1)
-    ir = jnp.matmul(c2t, x, precision=precision)
-    ii = jnp.matmul(s2t, x, precision=precision)
+    _, _, _, _, twr, twi = _ct_constants(n_fft, n1, n2)
+    st1_np, st2_np = _ct_stage_matrices(n_fft, n1, n2, k1max)
+    st1 = jnp.asarray(st1_np, dt)
+    st2 = jnp.asarray(st2_np, dt)
+    # stage 1: inner DFT over n2 via one left matmul -> (..., 2*N2, N1)
+    y = jnp.matmul(st1, x, precision=precision)
+    ir = y[..., :n2, :]
+    ii = y[..., n2:, :]
     # twiddle W_N^{n1 r} on the (r, n1) plane
-    twr_t, twi_t = twr.T, twi.T  # (r, n1)
+    twr_t = jnp.asarray(twr.T, dt)  # (r, n1)
+    twi_t = jnp.asarray(twi.T, dt)
     zr = ir * twr_t - ii * twi_t
     zi = ir * twi_t + ii * twr_t
-    # stage 2: outer complex DFT over n1 (contraction = N1, MXU-friendly)
-    xr = jnp.matmul(zr, c1, precision=precision) - jnp.matmul(
-        zi, s1, precision=precision
-    )
-    xi = jnp.matmul(zr, s1, precision=precision) + jnp.matmul(
-        zi, c1, precision=precision
-    )
-    return xr, xi  # (..., N2, K1)
+    # stage 2: outer complex DFT over n1, one merged GEMM (contraction 2*N1)
+    z = jnp.concatenate([zr, zi], axis=-1)  # (..., N2, 2*N1)
+    out = jnp.matmul(z, st2, precision=precision)  # (..., N2, 2*k1max)
+    return out[..., :k1max], out[..., k1max:]  # (..., N2, K1)
 
 
 @functools.lru_cache(maxsize=16)
@@ -146,11 +177,19 @@ def permute_weights_for_ct(weights: np.ndarray, n_fft: int,
     """Reorder a (M, K=n_fft//2+1) per-bin weight matrix (e.g. a mel
     filterbank) onto the CT output's native flat (r, k1) plane, zeroing the
     alias entries — so consumers can project straight from the CT power
-    without any transpose/reshape of the spectrum."""
+    without any transpose/reshape of the spectrum.
+
+    When the Nyquist bin (k = n_fft//2, the only valid entry in the
+    k1 == N1/2 plane) carries zero weight, that whole plane is dropped:
+    the output has N2*(N1//2) columns and the CT stage-2 GEMM runs at exact
+    128-lane alignment (``_ct_stages(k1max=n1//2)``)."""
     if factors is None:
         factors = good_factorization(n_fft)
     n1, n2 = factors
-    perm = _ct_bin_permutation(n_fft, n1, n2)
+    k1full = n1 // 2 + 1
+    k1max = k1full if np.any(weights[:, n_fft // 2]) else n1 // 2
+    full = _ct_bin_permutation(n_fft, n1, n2).reshape(n2, k1full)
+    perm = full[:, :k1max].reshape(-1)
     out = np.zeros((weights.shape[0], len(perm)), dtype=weights.dtype)
     valid = perm >= 0
     out[:, valid] = weights[:, perm[valid]]
@@ -167,9 +206,20 @@ def ct_power_project(
     scale: float = 1.0,
 ) -> jnp.ndarray:
     """(..., N2, N1) windowed frames -> (..., M): CT rFFT, |X|^2 * scale,
-    then projection against ``projection_t`` ((N2*(N1/2+1), M), built with
-    :func:`permute_weights_for_ct` so alias entries carry zero weight)."""
-    xr, xi = _ct_stages(frames_n2n1, n_fft, n1, n2, precision)
+    then projection against ``projection_t`` ((N2*k1max, M), built with
+    :func:`permute_weights_for_ct` so alias entries carry zero weight;
+    k1max — inferred from the projection width — is N1//2 when the Nyquist
+    plane was trimmed, N1//2+1 otherwise)."""
+    k1max, rem = divmod(projection_t.shape[0], n2)
+    if rem or k1max not in (n1 // 2, n1 // 2 + 1):
+        raise ValueError(
+            f"projection width {projection_t.shape[0]} does not match the "
+            f"(N2={n2}, k1max in {{{n1 // 2}, {n1 // 2 + 1}}}) CT plane"
+        )
+    # slicing xr/xi at the k1max offset costs a Mosaic relayout, but halves
+    # the projection GEMM vs squaring the merged output whole — measured
+    # faster at librosa sizes (projection K is already 2048 there)
+    xr, xi = _ct_stages(frames_n2n1, n_fft, n1, n2, precision, k1max=k1max)
     power = (xr * xr + xi * xi) * scale
     flat = power.reshape(power.shape[:-2] + (-1,))
     return jnp.matmul(flat, projection_t, precision=precision)

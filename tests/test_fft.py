@@ -40,3 +40,32 @@ def test_auto_selects_ct():
 
     assert resolve_fft_impl(m.librosa_config(22050)) == "ct"
     assert resolve_fft_impl(m.speechpy_config(16000)) == "matmul"
+
+
+def test_ct_nyquist_trim(rng):
+    """Zero Nyquist weight -> the k1 == N1/2 plane is trimmed (exact 128-lane
+    stage-2 alignment) and the projection matches the untrimmed plane."""
+    from mfcc_rust_tpu.ops.fft import ct_power_project, permute_weights_for_ct
+
+    n, (n1, n2) = 2048, good_factorization(2048)
+    w_zero = rng.normal(size=(8, n // 2 + 1))
+    w_zero[:, n // 2] = 0.0
+    w_full = w_zero.copy()
+    w_full[:, n // 2] = 1.0  # nonzero Nyquist: no trim
+
+    p_trim = permute_weights_for_ct(w_zero, n)
+    p_full = permute_weights_for_ct(w_full, n)
+    assert p_trim.shape[1] == n2 * (n1 // 2)
+    assert p_full.shape[1] == n2 * (n1 // 2 + 1)
+
+    x = rng.normal(size=(3, n2, n1))
+    a = ct_power_project(jnp.asarray(x), n, n1, n2, jnp.asarray(p_trim.T))
+    # reference: numpy rFFT power projected with the untrimmed weights (minus
+    # the Nyquist term we zeroed)
+    spec = np.fft.rfft(x.reshape(3, -1), axis=-1)
+    ref = (np.abs(spec) ** 2) @ w_zero.T
+    np.testing.assert_allclose(np.asarray(a), ref, rtol=1e-9, atol=1e-9)
+
+    b = ct_power_project(jnp.asarray(x), n, n1, n2, jnp.asarray(p_full.T))
+    ref_full = (np.abs(spec) ** 2) @ w_full.T
+    np.testing.assert_allclose(np.asarray(b), ref_full, rtol=1e-9, atol=1e-9)
