@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import FeatureConfig
 from .constants import constant_bundle
@@ -66,6 +67,24 @@ def _chunk_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int, precision):
     return ch, y
 
 
+def _stacked_fb(fbank: "np.ndarray", kmax: int, width: int, scale: float = 1.0):
+    """Filterbank weights for projecting the *squared* [C_trim | S_trim | ...]
+    DFT-GEMM output directly to mel: since
+    ``mel_m = sum_k fb[m,k] * (xr_k^2 + xi_k^2) * scale``, the (M, K) bank is
+    transposed, scaled, and duplicated over both the cos block (columns
+    0..kmax) and the sin block (kmax..2*kmax); any extra columns (e.g. the
+    Parseval w/±w energy terms) carry zero weight.  Squaring the GEMM output
+    whole avoids Mosaic lane relayouts from slicing at the (unaligned) kmax
+    offset — measured worth ~35% of headline runtime (docs/DESIGN.md).
+    Assumes the unpadded wall layout (C at 0, S at kmax — i.e.
+    ``chunk_gemm_wall`` without ``lane_align``)."""
+    fb = fbank[:, :kmax].T * scale
+    fb2 = np.zeros((width, fb.shape[1]))
+    fb2[:kmax] = fb
+    fb2[kmax : 2 * kmax] = fb
+    return fb2
+
+
 def _fast_path_ok(cfg: FeatureConfig) -> bool:
     """The chunk-GEMM lowering needs hop-divisible frames, an even fft size
     (for the Parseval Nyquist term) and the matmul DFT impl."""
@@ -98,7 +117,6 @@ def _chunked_mel_energy(
     ``spectral_weight`` (a per-bin weight vector, e.g. SSC's frequency ramp)
     adds a second weighted mel projection.
     """
-    import numpy as np
 
     from .constants import chunk_gemm_wall
 
@@ -127,19 +145,10 @@ def _chunked_mel_energy(
     ch, y = _chunk_gemm(signal, wd["wall"], n_frames, hop, cfg.precision)
 
     if spectral_weight is None:
-        # mel projection without materializing the power spectrum: since
-        # mel_m = sum_k fb[m,k]*(xr_k^2 + xi_k^2)/n, square the WHOLE GEMM
-        # output (no lane slicing at the unaligned kmax offset — Mosaic
-        # relayouts there cost more than the extra GEMM columns) and project
-        # with fb/n stacked over both the cos and sin column blocks; the w/±w
-        # energy columns carry zero weight.
-        fb_n = bundle["fbank"][:, :kmax].T / n
-        fb2 = np.zeros((wd["wall"].shape[1], m))
-        fb2[:kmax] = fb_n
-        fb2[kmax : 2 * kmax] = fb_n
-        sq = y * y
+        # project the squared GEMM output straight to mel (see _stacked_fb)
+        fb2 = _stacked_fb(bundle["fbank"], kmax, wd["wall"].shape[1], 1.0 / n)
         feats = zero_handling(
-            jnp.matmul(sq, jnp.asarray(fb2, signal.dtype), precision=cfg.precision)
+            jnp.matmul(y * y, jnp.asarray(fb2, signal.dtype), precision=cfg.precision)
         )
         energies = None
         if want_energy:
@@ -171,7 +180,6 @@ def _parseval_energies(ch, s0, s1, wd, n, n_frames, cfg):
     """Exact frame energies from the Parseval identity (see
     :func:`_chunked_mel_energy`): sum of x^2*w^2 per frame via per-chunk
     reductions plus the s0/s1 boundary terms from the GEMM columns."""
-    import numpy as np
 
     r = wd["r"]
     w2 = wd["w2"]  # (r, hop)
@@ -183,8 +191,13 @@ def _parseval_energies(ch, s0, s1, wd, n, n_frames, cfg):
         parts = [cs2[..., s : s + n_frames] for s in range(r)]
     else:
         # windowed: per-(chunk, shift) weighted sums as one tiny GEMM
-        # (..., n_chunks, hop) @ (hop, r) instead of r full passes
-        p = jnp.matmul(ch * ch, jnp.asarray(w2.T, ch.dtype), precision=cfg.precision)
+        # (..., n_chunks, hop) @ (hop, r) instead of r full passes; pinned to
+        # HIGHEST so energies stay full-precision regardless of cfg.precision
+        # (the elementwise form it replaces was precision-independent)
+        p = jnp.matmul(
+            ch * ch, jnp.asarray(w2.T, ch.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
         parts = [p[..., s : s + n_frames, s] for s in range(r)]
     s2 = parts[0]
     for part in parts[1:]:
@@ -227,7 +240,6 @@ def ssc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """Spectral subband centroids (README.md:15 promise; SURVEY C24):
     (..., T) -> (..., F, num_filters), centroids in Hz."""
     if _fast_path_ok(cfg):
-        import numpy as np
 
         ramp = np.linspace(1.0, cfg.sample_rate / 2.0, cfg.freq_size)
         num, _, den = _chunked_mel_energy(
@@ -254,19 +266,16 @@ def mel_spectrogram(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     if resolve_fft_impl(cfg) == "matmul":
         # mel output only sees the filterbank's frequency support: trim the
         # windowed-DFT GEMM to kmax bins and project before the n_pad layout
-        import numpy as np
 
         bundle = constant_bundle(cfg)
         kmax = bundle["fbank_kmax"]
         c64, s64 = bundle["dft_windowed"]
         frames = _stft._vorbis_frames(signal, cfg)
-        # one [C|S] DFT GEMM, squared whole (no unaligned kmax slicing), then
-        # the filterbank stacked over both blocks with wnorm^2 folded in
+        # one [C|S] DFT GEMM, squared whole, projected with the filterbank
+        # stacked over both blocks and wnorm^2 folded in (see _stacked_fb)
         wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
         y = jnp.matmul(frames, jnp.asarray(wall, signal.dtype), precision=cfg.precision)
-        fb2 = np.concatenate(
-            [bundle["fbank"][:, :kmax].T * (cfg.wnorm * cfg.wnorm)] * 2, axis=0
-        )
+        fb2 = _stacked_fb(bundle["fbank"], kmax, 2 * kmax, cfg.wnorm * cfg.wnorm)
         mel = jnp.matmul(y * y, jnp.asarray(fb2, signal.dtype), precision=cfg.precision)
         mel = _stft._apply_npad_layout(mel, cfg)
         return jnp.swapaxes(mel, -1, -2)
@@ -292,17 +301,12 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
             bundle = constant_bundle(cfg)
             kmax = bundle["fbank_kmax"]
             c64, s64 = bundle["dft_windowed"]
-            import numpy as np
 
             wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
             _, y = _chunk_gemm(signal, wall, count, hop, cfg.precision)
             if cfg.power == 2.0:
-                # no lane slicing at the unaligned kmax offset: square the
-                # whole GEMM output and stack the filterbank over both the
-                # cos and sin blocks (librosa: no 1/N scaling)
-                fb2 = np.concatenate(
-                    [bundle["fbank"][:, :kmax].T] * 2, axis=0
-                )
+                # squared-output projection, librosa: no 1/N scaling
+                fb2 = _stacked_fb(bundle["fbank"], kmax, 2 * kmax)
                 mel = jnp.matmul(
                     y * y, jnp.asarray(fb2, signal.dtype), precision=cfg.precision
                 )

@@ -187,7 +187,11 @@ def permute_weights_for_ct(weights: np.ndarray, n_fft: int,
         factors = good_factorization(n_fft)
     n1, n2 = factors
     k1full = n1 // 2 + 1
-    k1max = k1full if np.any(weights[:, n_fft // 2]) else n1 // 2
+    # Trimming is only valid for even N1: there the k1 == N1/2 plane holds
+    # just the Nyquist bin (r=0) plus aliases.  For odd N1 that plane holds
+    # valid below-Nyquist bins and must be kept.
+    trim = n1 % 2 == 0 and not np.any(weights[:, n_fft // 2])
+    k1max = n1 // 2 if trim else k1full
     full = _ct_bin_permutation(n_fft, n1, n2).reshape(n2, k1full)
     perm = full[:, :k1max].reshape(-1)
     out = np.zeros((weights.shape[0], len(perm)), dtype=weights.dtype)
@@ -211,10 +215,11 @@ def ct_power_project(
     k1max — inferred from the projection width — is N1//2 when the Nyquist
     plane was trimmed, N1//2+1 otherwise)."""
     k1max, rem = divmod(projection_t.shape[0], n2)
-    if rem or k1max not in (n1 // 2, n1 // 2 + 1):
+    allowed = {n1 // 2 + 1} | ({n1 // 2} if n1 % 2 == 0 else set())
+    if rem or k1max not in allowed:
         raise ValueError(
             f"projection width {projection_t.shape[0]} does not match the "
-            f"(N2={n2}, k1max in {{{n1 // 2}, {n1 // 2 + 1}}}) CT plane"
+            f"(N2={n2}, k1max in {sorted(allowed)}) CT plane"
         )
     # slicing xr/xi at the k1max offset costs a Mosaic relayout, but halves
     # the projection GEMM vs squaring the merged output whole — measured

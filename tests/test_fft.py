@@ -69,3 +69,26 @@ def test_ct_nyquist_trim(rng):
     b = ct_power_project(jnp.asarray(x), n, n1, n2, jnp.asarray(p_full.T))
     ref_full = (np.abs(spec) ** 2) @ w_full.T
     np.testing.assert_allclose(np.asarray(b), ref_full, rtol=1e-9, atol=1e-9)
+
+
+def test_ct_odd_n1_never_trims(rng):
+    """For odd N1 the k1 == n1//2 plane holds valid below-Nyquist bins; a
+    zero Nyquist weight must NOT trigger the trim (regression: 24% output
+    error when it did)."""
+    from mfcc_rust_tpu.ops.fft import (
+        ct_power_project, good_factorization, permute_weights_for_ct,
+    )
+
+    n = 1323
+    n1, n2 = good_factorization(n)
+    assert n1 % 2 == 1  # the case under test
+    w = rng.normal(size=(8, n // 2 + 1))
+    w[:, n // 2] = 0.0  # zero Nyquist weight — trim bait
+    p = permute_weights_for_ct(w, n)
+    assert p.shape[1] == n2 * (n1 // 2 + 1)  # untrimmed
+
+    x = rng.normal(size=(3, n2, n1))
+    a = ct_power_project(jnp.asarray(x), n, n1, n2, jnp.asarray(p.T))
+    spec = np.fft.rfft(x.reshape(3, -1), axis=-1)
+    ref = (np.abs(spec) ** 2) @ w.T
+    np.testing.assert_allclose(np.asarray(a), ref, rtol=1e-9, atol=1e-7)
