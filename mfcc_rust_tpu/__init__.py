@@ -48,5 +48,6 @@ from .config import (  # noqa: F401
     speechpy_config,
     vorbis_config,
 )
+from .ops.resample import resample, resample_poly  # noqa: F401
 
 __version__ = "0.1.0"

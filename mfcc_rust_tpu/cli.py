@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz checkpoint path for resumable runs")
     p.add_argument("--seq-shards", type=int, default=1,
                    help="sequence-parallel shards (long-audio halo mode)")
+    p.add_argument("--resample", action="store_true",
+                   help="polyphase-resample inputs whose rate differs from "
+                        "--sample-rate (default: error on mismatch)")
     p.add_argument("--io-threads", type=int, default=4)
     p.add_argument("--max-seconds", type=float, default=240.0,
                    help="decode cap per utterance (longer files are truncated"
@@ -113,6 +116,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         process_count=process_count,
         n_io_threads=args.io_threads,
         max_seconds=args.max_seconds,
+        resample=args.resample,
         on_batch=None if args.quiet else (
             lambda info: print(json.dumps({"batch": info}), file=sys.stderr)
         ),

@@ -1,7 +1,9 @@
 """DSP primitive ops (the TPU-native L2 layer; reference:
 speechsauce/src/processing.rs + functions.rs)."""
 
-from . import dct, delta, framing, mel, normalize, spectrum, ssc, stft  # noqa: F401
+from . import dct, delta, framing, mel, normalize, resample, spectrum, ssc, stft  # noqa: F401
+from .resample import resample_poly  # noqa: F401
+from .resample import resample as resample_audio  # noqa: F401
 from .delta import delta as time_delta  # noqa: F401
 from .delta import derivative_extraction, extract_derivative_feature  # noqa: F401
 from .framing import frame_signal, preemphasis, stack_frames  # noqa: F401

@@ -119,6 +119,7 @@ class CorpusRunner:
         n_io_threads: int = 4,
         max_seconds: float = 240.0,
         on_batch: Optional[Callable[[dict], None]] = None,
+        resample: bool = False,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -171,6 +172,25 @@ class CorpusRunner:
         self.n_io_threads = n_io_threads
         self.meter = Meter()
         self.on_batch = on_batch
+        # resample=True: files whose rate differs from cfg.sample_rate are
+        # polyphase-resampled on device (per-batch, same-rate batches)
+        # instead of raising
+        self.resample = resample
+
+    def _resample_batch(self, sig: np.ndarray, up: int, down: int) -> np.ndarray:
+        """Device polyphase resample of a padded (B, T_src) batch, sharded on
+        the mesh's data axis (per-row chunk-GEMMs partition trivially).  The
+        jit cache keys on (shape, up, down) — shapes are bucketed upstream."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.resample import resample_poly
+        from .mesh import DATA_AXIS
+
+        x = jax.device_put(
+            jax.numpy.asarray(sig), NamedSharding(self.mesh, P(DATA_AXIS, None))
+        )
+        out = jax.jit(resample_poly, static_argnums=(1, 2))(x, up, down)
+        return np.asarray(out)
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -199,20 +219,44 @@ class CorpusRunner:
             [self.all_paths[i] for i in todo], n_threads=self.n_io_threads,
             max_seconds=self.max_seconds,
         )
-        pending: List[Tuple[int, np.ndarray]] = []
+        # pending pools keyed by source sample rate: batches are same-rate so
+        # one device resample call handles the whole padded batch
+        pending: dict = {}
         batches_since_ckpt = 0
 
-        def flush(batch: List[Tuple[int, np.ndarray]]):
+        def flush(batch: List[Tuple[int, np.ndarray]], src_rate: int):
             nonlocal moments, batches_since_ckpt
+            import math
+
             ids = [todo[j] for j, _ in batch]
-            lengths = np.array([len(s) for _, s in batch], dtype=np.int64)
-            bucket = bucket_length(int(lengths.max()))
-            bucket = ((bucket + align - 1) // align) * align
             b = len(batch)
             b_pad = ((b + n_data - 1) // n_data) * n_data
-            sig = np.zeros((b_pad, bucket), dtype=self.cfg.dtype)
-            for r, (_, s) in enumerate(batch):
-                sig[r, : len(s)] = s
+            src_lengths = np.array([len(s) for _, s in batch], dtype=np.int64)
+            if src_rate == self.cfg.sample_rate:
+                lengths = src_lengths
+                bucket = bucket_length(int(lengths.max()))
+                bucket = ((bucket + align - 1) // align) * align
+                sig = np.zeros((b_pad, bucket), dtype=self.cfg.dtype)
+                for r, (_, s) in enumerate(batch):
+                    sig[r, : len(s)] = s
+            else:
+                # device polyphase resample of the whole padded batch: zero
+                # padding is transparent through the (linear) resampler — the
+                # filter sees zeros beyond the true length either way — so
+                # row r's first ceil(len*up/down) output samples are exactly
+                # the unpadded resample
+                g = math.gcd(self.cfg.sample_rate, src_rate)
+                up, down = self.cfg.sample_rate // g, src_rate // g
+                lengths = -(-src_lengths * up // down)
+                # source bucket: multiple of `down` (integer output length)
+                # and of down*align/gcd(align, up) (aligned output bucket)
+                step = down * align // math.gcd(align, up)
+                m0 = bucket_length(int(src_lengths.max()))
+                src_bucket = ((m0 + step - 1) // step) * step
+                sig_src = np.zeros((b_pad, src_bucket), dtype=self.cfg.dtype)
+                for r, (_, s) in enumerate(batch):
+                    sig_src[r, : len(s)] = s
+                sig = self._resample_batch(sig_src, up, down)
             lens = np.zeros(b_pad, dtype=np.int64)
             lens[:b] = lengths
             audio_sec = float(lengths.sum()) / self.cfg.sample_rate
@@ -244,31 +288,41 @@ class CorpusRunner:
                      "throughput": self.meter.throughput}
                 )
 
+        import math
+
         for j, samples, sr in loader:
-            if sr != self.cfg.sample_rate:
+            if sr != self.cfg.sample_rate and not self.resample:
                 raise ValueError(
                     f"{self.all_paths[todo[j]]}: sample rate {sr} != config "
-                    f"{self.cfg.sample_rate}"
+                    f"{self.cfg.sample_rate} (pass resample=True to convert)"
                 )
+            # frame-count check at the TARGET rate (post-resample length)
+            if sr == self.cfg.sample_rate:
+                n_t = len(samples)
+            else:
+                g = math.gcd(self.cfg.sample_rate, sr)
+                n_t = -(-len(samples) * (self.cfg.sample_rate // g) // (sr // g))
             # drop utterances too short to produce one frame (reference
             # yields an empty matrix for these, feature.rs:102-104); the
             # vorbis/melspec path frames any length (ceil(L/hop) chunks)
             if self.feature == "melspec":
-                num = -(-len(samples) // hop)
+                num = -(-n_t // hop)
             else:
                 num, _ = speechpy_frame_counts(
-                    len(samples), self.cfg.frame_size, hop, zero_padding=False
+                    n_t, self.cfg.frame_size, hop, zero_padding=False
                 )
             if num <= 0:
                 if self.store is not None:
                     self.store.done[todo[j]] = True
                 continue
-            pending.append((j, samples))
-            if len(pending) >= self.batch_size:
-                flush(pending)
-                pending = []
-        if pending:
-            flush(pending)
+            pool = pending.setdefault(sr, [])
+            pool.append((j, samples))
+            if len(pool) >= self.batch_size:
+                flush(pool, sr)
+                pending[sr] = []
+        for sr, pool in pending.items():
+            if pool:
+                flush(pool, sr)
         if self.store is not None:
             self.store.moments = moments
             self.store.save()

@@ -129,3 +129,49 @@ def test_speed_of_light_model():
     sol = speed_of_light(CFG)
     # sanity: the 50k north-star target is far below the roofline
     assert sol["speed_of_light_audio_s_per_s"] > 100_000
+
+
+def test_runner_mixed_rates_resample(tmp_path, rng):
+    """A mixed 8k/16k corpus with resample=True: every file's features match
+    the direct pipeline on the (decoded, resampled-on-host) samples."""
+    from mfcc_rust_tpu.ops.resample import resample_poly
+    from mfcc_rust_tpu.runtime import read_wav
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    paths, rates = [], []
+    for i, sr in enumerate([16000, 8000, 8000, 16000, 22050]):
+        clip = rng.normal(0, 0.1, sr + 321 * i).astype(np.float32).clip(-1, 1)
+        p = d / f"mix{i}.wav"
+        write_wav(str(p), clip, sr)
+        paths.append(str(p))
+        rates.append(sr)
+
+    mesh = make_mesh(n_data=2, n_seq=1)
+    out = tmp_path / "mixed_feats"
+    runner = CorpusRunner(paths, CFG, mesh, batch_size=2, out_dir=str(out),
+                          resample=True)
+    moments = runner.run()
+    assert int(moments.count) > 0
+
+    import math
+
+    for i, (p, sr) in enumerate(zip(paths, rates)):
+        dec, _ = read_wav(p)
+        if sr != 16000:
+            g = math.gcd(16000, sr)
+            dec = np.asarray(resample_poly(dec.astype(np.float64), 16000 // g, sr // g))
+        gold = sp.mfcc(np.asarray(dec, np.float64), 16000)
+        f = np.load(out / f"mix{i}.npy")
+        assert f.shape == gold.shape
+        np.testing.assert_allclose(f, gold, rtol=3e-3, atol=3e-3)
+
+
+def test_runner_rate_mismatch_raises(tmp_path, rng):
+    clip = rng.normal(0, 0.1, 8000).astype(np.float32).clip(-1, 1)
+    p = tmp_path / "wrong.wav"
+    write_wav(str(p), clip, 8000)
+    runner = CorpusRunner([str(p)], CFG, make_mesh(n_data=1, n_seq=1),
+                          batch_size=1, out_dir=str(tmp_path / "o"))
+    with pytest.raises(ValueError, match="sample rate"):
+        runner.run()
