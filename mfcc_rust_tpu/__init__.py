@@ -27,6 +27,7 @@ from .api import (  # noqa: F401
     cmvn,
     cmvnw,
     delta,
+    delta_librosa,
     derivative_extraction,
     extract_derivative_feature,
     lmfe,

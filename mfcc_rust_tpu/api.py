@@ -184,6 +184,14 @@ def delta(feat, width=2):
     return np.asarray(_delta.delta(np.asarray(feat), width))
 
 
+def delta_librosa(feat, width=9, order=1, axis=-1):
+    """librosa.feature.delta parity: Savitzky-Golay smoothed derivative
+    (mode='interp' edges) along ``axis`` (librosa layout: frames last)."""
+    from .ops import delta as _delta
+
+    return np.asarray(_delta.delta_librosa(np.asarray(feat), width, order, axis))
+
+
 def log_power_spectrum(frames, fft_length=512, normalize=True):
     """Log power spectrum of pre-framed data (processing.rs:183-214, fixed
     max-normalization)."""

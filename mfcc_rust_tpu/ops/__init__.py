@@ -5,7 +5,7 @@ from . import dct, delta, framing, mel, normalize, resample, spectrum, ssc, stft
 from .resample import resample_poly  # noqa: F401
 from .resample import resample as resample_audio  # noqa: F401
 from .delta import delta as time_delta  # noqa: F401
-from .delta import derivative_extraction, extract_derivative_feature  # noqa: F401
+from .delta import delta_librosa, derivative_extraction, extract_derivative_feature  # noqa: F401
 from .framing import frame_signal, preemphasis, stack_frames  # noqa: F401
 from .normalize import apply_corpus_cmvn, cmvn, cmvnw, masked_moments  # noqa: F401
 from .spectrum import (  # noqa: F401

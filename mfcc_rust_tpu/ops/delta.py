@@ -15,7 +15,10 @@ Two variants:
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
+import numpy as np
 
 
 def derivative_extraction(feat: jnp.ndarray, delta_windows: int = 2) -> jnp.ndarray:
@@ -61,3 +64,49 @@ def delta(feat: jnp.ndarray, width: int = 2) -> jnp.ndarray:
         )
         denom += 2.0 * r**2
     return num / denom
+
+
+def _savgol_operator(width: int, polyorder: int, deriv: int):
+    """float64 Savitzky-Golay linear operator rows: D[p] maps a length-width
+    window to the deriv-th derivative of its least-squares polynomial fit,
+    evaluated at window position p.  Row ``width//2`` is the classic interior
+    SG kernel; the first/last half rows are scipy's mode='interp' edge
+    handling (librosa.feature.delta semantics)."""
+    a = np.vander(np.arange(width, dtype=np.float64), polyorder + 1,
+                  increasing=True)  # a[i, j] = i**j
+    coef = np.linalg.pinv(a)  # (polyorder+1, width): window -> poly coeffs
+    rows = np.zeros((width, polyorder + 1))
+    p = np.arange(width, dtype=np.float64)
+    for j in range(deriv, polyorder + 1):
+        rows[:, j] = (math.factorial(j) / math.factorial(j - deriv)) * p ** (j - deriv)
+    return rows @ coef  # (width, width)
+
+
+def delta_librosa(feat: jnp.ndarray, width: int = 9, order: int = 1,
+                  axis: int = -1) -> jnp.ndarray:
+    """librosa.feature.delta parity: Savitzky-Golay smoothed derivative
+    (scipy savgol_filter, polyorder=order, deriv=order, mode='interp') along
+    ``axis`` (librosa layout: frames last).  Requires an odd ``width`` and at
+    least ``width`` frames (the 'interp' edge fit needs a full window)."""
+    if width < 3 or width % 2 == 0:
+        raise ValueError(f"width must be odd and >= 3, got {width}")
+    if order <= 0:
+        raise ValueError(f"order must be positive, got {order}")
+    t = feat.shape[axis]
+    if t < width:
+        raise ValueError(f"need at least width={width} frames, got {t}")
+    x = jnp.moveaxis(feat, axis, -1)
+    d = jnp.asarray(_savgol_operator(width, order, order), x.dtype)
+    h = width // 2
+    # interior: correlation with the center SG row as width shifted adds
+    center = d[h]
+    n_int = t - 2 * h
+    y_int = None
+    for k in range(width):
+        part = center[k] * x[..., k : k + n_int]
+        y_int = part if y_int is None else y_int + part
+    # edges: polynomial fit of the first/last window (mode='interp')
+    y_left = jnp.einsum("pw,...w->...p", d[:h], x[..., :width])
+    y_right = jnp.einsum("pw,...w->...p", d[h + 1 :], x[..., -width:])
+    out = jnp.concatenate([y_left, y_int, y_right], axis=-1)
+    return jnp.moveaxis(out, -1, axis)

@@ -86,3 +86,77 @@ def test_win_length_uncentered(clip):
                              center=False)
     ours = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(clip), cfg))
     np.testing.assert_allclose(ours, gold, rtol=1e-6, atol=1e-10)
+
+
+class TestDeltaLibrosa:
+    """librosa.feature.delta parity: Savitzky-Golay mode='interp' vs a
+    literal per-window numpy polyfit oracle."""
+
+    @staticmethod
+    def _oracle(x, width, order):
+        """Derivative of the LSQ polynomial fit: interior windows centered at
+        each frame; edge frames reuse the first/last full window (scipy
+        savgol mode='interp')."""
+        h = width // 2
+        t = x.shape[-1]
+        out = np.zeros_like(x, dtype=np.float64)
+        pos = np.arange(width, dtype=np.float64)
+        import math as _m
+
+        def fit_deriv(win, p):
+            c = np.polynomial.polynomial.polyfit(pos, win, order)
+            return sum(
+                c[j] * (_m.factorial(j) / _m.factorial(j - order)) * p ** (j - order)
+                for j in range(order, order + 1)
+            )
+
+        for m in range(t):
+            if m < h:
+                win, p = x[..., :width], float(m)
+            elif m >= t - h:
+                win, p = x[..., -width:], float(m - (t - width))
+            else:
+                win, p = x[..., m - h : m + h + 1], float(h)
+            out[..., m] = fit_deriv(win.astype(np.float64), p)
+        return out
+
+    @pytest.mark.parametrize("width,order", [(9, 1), (9, 2), (5, 1), (3, 1)])
+    def test_matches_polyfit_oracle(self, rng, width, order):
+        from mfcc_rust_tpu.ops.delta import delta_librosa
+
+        x = rng.normal(size=(4, 30))
+        ours = np.asarray(delta_librosa(jnp.asarray(x), width, order))
+        ref = np.stack([self._oracle(row, width, order) for row in x])
+        np.testing.assert_allclose(ours, ref, rtol=1e-8, atol=1e-9)
+
+    def test_linear_ramp_has_constant_slope(self):
+        from mfcc_rust_tpu.ops.delta import delta_librosa
+
+        x = jnp.asarray(3.0 * np.arange(40.0) + 7.0)
+        d = np.asarray(delta_librosa(x, 9, 1))
+        np.testing.assert_allclose(d, 3.0, rtol=1e-9)
+        d2 = np.asarray(delta_librosa(x, 9, 2))
+        np.testing.assert_allclose(d2, 0.0, atol=1e-8)
+
+    def test_axis_and_pipeline(self, rng):
+        from mfcc_rust_tpu import features, librosa_config
+        from mfcc_rust_tpu.ops.delta import delta_librosa
+
+        y = rng.normal(0, 0.1, 22050).astype(np.float32)
+        cfg = librosa_config(22050)
+        mf = features.mfcc_librosa(jnp.asarray(y), cfg)  # (n_mfcc, T)
+        d = delta_librosa(mf, 9, 1)
+        assert d.shape == mf.shape
+        # same result via the time-major layout
+        dt = delta_librosa(mf.T, 9, 1, axis=-2)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(dt).T, rtol=1e-5, atol=1e-5)
+
+    def test_validation(self):
+        from mfcc_rust_tpu.ops.delta import delta_librosa
+
+        with pytest.raises(ValueError):
+            delta_librosa(jnp.zeros((4, 30)), width=8)
+        with pytest.raises(ValueError):
+            delta_librosa(jnp.zeros((4, 30)), order=0)
+        with pytest.raises(ValueError):
+            delta_librosa(jnp.zeros((4, 5)), width=9)
