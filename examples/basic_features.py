@@ -43,3 +43,8 @@ print("cmvn mean ~0:", float(abs(norm.mean(0)).max()))
 y = np.random.default_rng(0).normal(0, 0.1, 22050).astype(np.float32)
 print("librosa mel:", ss.mel_spectrogram_librosa(y, 22050).shape)
 print("librosa mfcc:", ss.mfcc_librosa(y, 22050).shape)
+
+# librosa-style deltas (Savitzky-Golay) and on-device resampling
+mf = ss.mfcc_librosa(y, 22050)
+print("librosa delta:", ss.delta_librosa(mf).shape)
+print("resampled 22.05k -> 16k:", ss.resample(y, 22050, 16000).shape)

@@ -127,6 +127,12 @@ def _local_melspec(
     global-view concern applied after gathering (ops.stft._apply_npad_layout)."""
     from ..constants import constant_bundle
 
+    import math
+
+    import numpy as np
+
+    from ..features import _chunk_gemm, _stacked_fb
+
     hop = cfg.stream_hop
     n_local = signals.shape[-1] // hop
     seq_idx = jax.lax.axis_index(SEQ_AXIS)
@@ -134,17 +140,20 @@ def _local_melspec(
     n_valid = jnp.ceil(lengths / hop).astype(jnp.int32)  # chunks = ceil(T/hop)
     mask = gidx[None, :] < n_valid[:, None]
 
-    frames = halo.sharded_frames_left_halo(signals, cfg.fft_points, hop, SEQ_AXIS)
+    # gather-free STFT (same lowering as features.mel_spectrogram): the left
+    # halo supplies the analysis memory, and the [C|S] wall rows zero-pad to
+    # a hop multiple so the frames are a shifted-chunk GEMM of the shard
     bundle = constant_bundle(cfg)
     kmax = bundle["fbank_kmax"]
     c64, s64 = bundle["dft_windowed"]
-    c = jnp.asarray(c64[:, :kmax], signals.dtype)
-    s = jnp.asarray(s64[:, :kmax], signals.dtype)
-    xr = jnp.matmul(frames, c, precision=cfg.precision)
-    xi = jnp.matmul(frames, s, precision=cfg.precision)
-    power = (xr * xr + xi * xi) * (cfg.wnorm * cfg.wnorm)
-    fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signals.dtype)
-    mel = jnp.matmul(power, fbt, precision=cfg.precision)
+    n = cfg.fft_points
+    left = halo._left_halo(signals, n - hop, SEQ_AXIS)
+    full = jnp.concatenate([left, signals], axis=-1)
+    wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
+    wall = np.pad(wall, [(0, math.ceil(n / hop) * hop - n), (0, 0)])
+    _, y = _chunk_gemm(full, wall, n_local, hop, cfg.precision)
+    fb2 = _stacked_fb(bundle["fbank"], kmax, 2 * kmax, cfg.wnorm * cfg.wnorm)
+    mel = jnp.matmul(y * y, jnp.asarray(fb2, signals.dtype), precision=cfg.precision)
     moments = psum_moments(
         local_moments(mel, mask.astype(mel.dtype)), (DATA_AXIS, SEQ_AXIS)
     )
