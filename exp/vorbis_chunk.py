@@ -1,6 +1,5 @@
 """A/B: vorbis mel via frame gather vs gather-free zero-padded chunk-GEMM."""
 
-import math
 import sys
 import time
 
@@ -13,7 +12,7 @@ from jax import lax
 
 from mfcc_rust_tpu import features, vorbis_config
 from mfcc_rust_tpu.constants import constant_bundle
-from mfcc_rust_tpu.features import _chunk_gemm, _stacked_fb
+from mfcc_rust_tpu.features import _stacked_fb
 from mfcc_rust_tpu.ops import stft as _stft
 
 
@@ -32,22 +31,16 @@ def slope(fn, make_xs, k1=4, k2=12):
     return (timed(k2) - timed(k1)) / (k2 - k1)
 
 
-def mel_chunked(signal, cfg):
-    """Gather-free variant: left-pad analysis memory, zero-pad the wall rows
-    to a hop multiple, reuse the shifted-chunk GEMM."""
+def mel_gather(signal, cfg):
+    """The OLD lowering this experiment replaced (kept inline as the
+    baseline, since features.mel_spectrogram now uses the chunked form):
+    frame-gather + [C|S] GEMM + stacked projection."""
     bundle = constant_bundle(cfg)
     kmax = bundle["fbank_kmax"]
     c64, s64 = bundle["dft_windowed"]
-    hop = cfg.stream_hop
-    n = cfg.fft_points
-    t = signal.shape[-1]
-    n_frames = -(-t // hop)
+    frames = _stft._vorbis_frames(signal, cfg)
     wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
-    rows = math.ceil(n / hop) * hop
-    wall = np.pad(wall, [(0, rows - n), (0, 0)])
-    pad = [(0, 0)] * (signal.ndim - 1) + [(n - hop, 0)]
-    x = jnp.pad(signal, pad)
-    _, y = _chunk_gemm(x, wall, n_frames, hop, cfg.precision)
+    y = jnp.matmul(frames, jnp.asarray(wall, signal.dtype), precision=cfg.precision)
     fb2 = _stacked_fb(bundle["fbank"], kmax, 2 * kmax, cfg.wnorm * cfg.wnorm)
     mel = jnp.matmul(y * y, jnp.asarray(fb2, signal.dtype), precision=cfg.precision)
     mel = _stft._apply_npad_layout(mel, cfg)
@@ -59,19 +52,20 @@ def main():
     cfg = vorbis_config(16000)
     B, T = 64, 160000
 
-    # correctness first (small, on-device)
+    # correctness first (small, on-device): production (chunked) vs the old
+    # gather lowering reconstructed above
     x = jnp.asarray(rng.normal(0, 0.1, (2, 16000)).astype(np.float32))
-    a = np.asarray(features.mel_spectrogram(x, cfg))
-    b = np.asarray(mel_chunked(x, cfg))
+    a = np.asarray(mel_gather(x, cfg))
+    b = np.asarray(features.mel_spectrogram(x, cfg))
     err = np.max(np.abs(a - b) / (np.abs(a) + 1e-6))
     print(f"max rel err gather vs chunked: {err:.2e}", flush=True)
 
     def mk(k):
         return jnp.asarray(rng.normal(0, 0.1, (k, B, T)).astype(np.float32))
 
-    v = slope(lambda s: features.mel_spectrogram(s, cfg).sum(), mk)
+    v = slope(lambda s: mel_gather(s, cfg).sum(), mk)
     print(f"gather   {v*1e3:8.3f} ms  {B*10.0/v/1e3:8.1f}k audio-s/s", flush=True)
-    v = slope(lambda s: mel_chunked(s, cfg).sum(), mk)
+    v = slope(lambda s: features.mel_spectrogram(s, cfg).sum(), mk)
     print(f"chunked  {v*1e3:8.3f} ms  {B*10.0/v/1e3:8.1f}k audio-s/s", flush=True)
 
 

@@ -389,3 +389,27 @@ def chunk_gemm_wall(cfg, want_energy: bool, lane_align: Optional[int] = None) ->
         "wall": wall, "kmax": kmax, "kpad": kpad, "r": r, "fl": fl,
         "hop": hop, "w": w, "w2": (w * w).reshape(r, hop),
     }
+
+
+@functools.lru_cache(maxsize=64)
+def vorbis_chunk_wall(cfg) -> dict:
+    """The gather-free vorbis-STFT chunk-GEMM constant (single source of
+    truth for features.mel_spectrogram and the seq-sharded
+    parallel.data._local_melspec — same rationale as chunk_gemm_wall):
+    ``[C_trim | S_trim]`` windowed-DFT columns with rows zero-padded to a
+    stream-hop multiple, so hop-strided streaming frames reduce to shifted
+    chunk GEMMs (the zero rows multiply the window overhang exactly to
+    zero), plus the filterbank stacked over both blocks with wnorm^2 folded
+    in.  Returns dict(wall (r*hop, 2*kmax), fb2 (2*kmax, M), r, hop)."""
+    bundle = constant_bundle(cfg)
+    kmax = bundle["fbank_kmax"]
+    c64, s64 = bundle["dft_windowed"]
+    hop = cfg.stream_hop
+    n = cfg.fft_points
+    wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
+    rows = math.ceil(n / hop) * hop
+    wall = np.pad(wall, [(0, rows - n), (0, 0)])
+    w2 = cfg.wnorm * cfg.wnorm
+    fb = bundle["fbank"][:, :kmax].T * w2
+    fb2 = np.concatenate([fb, fb], axis=0)
+    return {"wall": wall, "fb2": fb2, "r": rows // hop, "hop": hop}

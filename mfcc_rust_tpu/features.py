@@ -19,7 +19,6 @@ per-row ortho DCT (#2), true overlapping framing (#3), stateless batch STFT
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -270,21 +269,18 @@ def mel_spectrogram(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
         # (analysis_mem = fft_points - hop zeros), so zero-padding the
         # [C_trim | S_trim] wall rows up to a hop multiple makes the whole
         # STFT one shifted-chunk GEMM; the squared output projects through
-        # the stacked filterbank with wnorm^2 folded in (see _stacked_fb)
-        bundle = constant_bundle(cfg)
-        kmax = bundle["fbank_kmax"]
-        c64, s64 = bundle["dft_windowed"]
-        hop = cfg.stream_hop
-        n = cfg.fft_points
+        # the stacked filterbank with wnorm^2 folded in (shared constant:
+        # constants.vorbis_chunk_wall)
+        from .constants import vorbis_chunk_wall
+
+        vw = vorbis_chunk_wall(cfg)
+        hop = vw["hop"]
         n_frames = -(-signal.shape[-1] // hop)
-        wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
-        rows = math.ceil(n / hop) * hop
-        wall = np.pad(wall, [(0, rows - n), (0, 0)])
-        pad = [(0, 0)] * (signal.ndim - 1) + [(n - hop, 0)]
+        pad = [(0, 0)] * (signal.ndim - 1) + [(cfg.fft_points - hop, 0)]
         x = jnp.pad(signal, pad)
-        _, y = _chunk_gemm(x, wall, n_frames, hop, cfg.precision)
-        fb2 = _stacked_fb(bundle["fbank"], kmax, 2 * kmax, cfg.wnorm * cfg.wnorm)
-        mel = jnp.matmul(y * y, jnp.asarray(fb2, signal.dtype), precision=cfg.precision)
+        _, y = _chunk_gemm(x, vw["wall"], n_frames, hop, cfg.precision)
+        fb2 = jnp.asarray(vw["fb2"], signal.dtype)
+        mel = jnp.matmul(y * y, fb2, precision=cfg.precision)
         mel = _stft._apply_npad_layout(mel, cfg)
         return jnp.swapaxes(mel, -1, -2)
     power = _stft.stft_vorbis_power(signal, cfg)

@@ -92,6 +92,10 @@ def delta_librosa(feat: jnp.ndarray, width: int = 9, order: int = 1,
         raise ValueError(f"width must be odd and >= 3, got {width}")
     if order <= 0:
         raise ValueError(f"order must be positive, got {order}")
+    if order >= width:
+        # scipy/librosa: "polyorder must be less than window_length" — an
+        # underdetermined fit would silently return a min-norm solution
+        raise ValueError(f"order ({order}) must be less than width ({width})")
     t = feat.shape[axis]
     if t < width:
         raise ValueError(f"need at least width={width} frames, got {t}")

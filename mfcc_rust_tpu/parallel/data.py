@@ -125,35 +125,30 @@ def _local_melspec(
     windowed-DFT GEMMs, mel projection.  Output is frame-major
     (Bl, Fl, M), chunk-indexed: the batch n_pad warm-up/tail layout is a
     global-view concern applied after gathering (ops.stft._apply_npad_layout)."""
-    from ..constants import constant_bundle
 
-    import math
-
-    import numpy as np
-
-    from ..features import _chunk_gemm, _stacked_fb
+    from ..constants import vorbis_chunk_wall
+    from ..features import _chunk_gemm
 
     hop = cfg.stream_hop
-    n_local = signals.shape[-1] // hop
+    t = signals.shape[-1]
+    if t % hop != 0:
+        raise ValueError(f"local shard length {t} must be a multiple of hop {hop}")
+    n_local = t // hop
     seq_idx = jax.lax.axis_index(SEQ_AXIS)
     gidx = seq_idx * n_local + jnp.arange(n_local)
     n_valid = jnp.ceil(lengths / hop).astype(jnp.int32)  # chunks = ceil(T/hop)
     mask = gidx[None, :] < n_valid[:, None]
 
-    # gather-free STFT (same lowering as features.mel_spectrogram): the left
-    # halo supplies the analysis memory, and the [C|S] wall rows zero-pad to
-    # a hop multiple so the frames are a shifted-chunk GEMM of the shard
-    bundle = constant_bundle(cfg)
-    kmax = bundle["fbank_kmax"]
-    c64, s64 = bundle["dft_windowed"]
-    n = cfg.fft_points
-    left = halo._left_halo(signals, n - hop, SEQ_AXIS)
+    # gather-free STFT (same lowering and shared constant as
+    # features.mel_spectrogram): the left halo supplies the analysis memory,
+    # the hop-padded [C|S] wall makes the frames a shifted-chunk GEMM
+    vw = vorbis_chunk_wall(cfg)
+    left = halo._left_halo(signals, cfg.fft_points - hop, SEQ_AXIS)
     full = jnp.concatenate([left, signals], axis=-1)
-    wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
-    wall = np.pad(wall, [(0, math.ceil(n / hop) * hop - n), (0, 0)])
-    _, y = _chunk_gemm(full, wall, n_local, hop, cfg.precision)
-    fb2 = _stacked_fb(bundle["fbank"], kmax, 2 * kmax, cfg.wnorm * cfg.wnorm)
-    mel = jnp.matmul(y * y, jnp.asarray(fb2, signals.dtype), precision=cfg.precision)
+    _, y = _chunk_gemm(full, vw["wall"], n_local, hop, cfg.precision)
+    mel = jnp.matmul(
+        y * y, jnp.asarray(vw["fb2"], signals.dtype), precision=cfg.precision
+    )
     moments = psum_moments(
         local_moments(mel, mask.astype(mel.dtype)), (DATA_AXIS, SEQ_AXIS)
     )

@@ -160,3 +160,7 @@ class TestDeltaLibrosa:
             delta_librosa(jnp.zeros((4, 30)), order=0)
         with pytest.raises(ValueError):
             delta_librosa(jnp.zeros((4, 5)), width=9)
+        with pytest.raises(ValueError, match="less than width"):
+            # scipy/librosa reject polyorder >= window_length; an
+            # underdetermined pinv fit would silently return garbage
+            delta_librosa(jnp.zeros((4, 30)), width=3, order=3)
