@@ -124,18 +124,20 @@ def suite():
         ),
     )
 
-    # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded batch
+    # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded
+    # batch, via the single-frontend-pass multi-feature API
     cfg = FeatureConfig(sample_rate=16000)
     b3, t3 = 64, 160000
 
     def full_suite(x):
-        feats, energies = features.mfe(x, cfg)
+        out = features.extract(x, cfg, which=("mfcc", "lmfe", "mfe", "ssc"))
+        feats, energies = out["mfe"]
         return (
             feats.sum()
             + energies.sum()
-            + features.lmfe(x, cfg).sum()
-            + features.ssc(x, cfg).sum()
-            + features.mfcc(x, cfg).sum()
+            + out["lmfe"].sum()
+            + out["ssc"].sum()
+            + out["mfcc"].sum()
         )
 
     _emit(

@@ -162,18 +162,22 @@ def _chunked_mel_energy(
     xr = y[..., :kmax]
     xi = y[..., kmax : 2 * kmax]
     power = (xr * xr + xi * xi) * (1.0 / n)
-    fbt = jnp.asarray(bundle["fbank"][:, :kmax].T, signal.dtype)
     energies = None
     if want_energy:
         energies = _parseval_energies(
             ch, y[..., 2 * kmax], y[..., 2 * kmax + 1], wd, n, n_frames, cfg
         )
-    rw = jnp.asarray(spectral_weight[:kmax], signal.dtype)
     eps = float(np.finfo(np.float64).eps)
     pz = jnp.where(power == 0.0, jnp.asarray(eps, power.dtype), power)
-    num = jnp.matmul(pz * rw, fbt, precision=cfg.precision)
-    den = jnp.matmul(pz, fbt, precision=cfg.precision)
-    return num, energies, den
+    # fold the spectral ramp into the weights: num = (pz*rw)@fbt == pz@(rw·fbt),
+    # so numerator and denominator ride ONE (K, 2M) GEMM
+    fbt64 = bundle["fbank"][:, :kmax].T
+    both = jnp.asarray(
+        np.concatenate([spectral_weight[:kmax, None] * fbt64, fbt64], axis=1),
+        signal.dtype,
+    )
+    nd = jnp.matmul(pz, both, precision=cfg.precision)
+    return nd[..., :m], energies, nd[..., m:]
 
 
 def _parseval_energies(ch, s0, s1, wd, n, n_frames, cfg):
@@ -392,6 +396,117 @@ def mfcc_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     s = power_to_db(s)
     coeffs = dct2_ortho(s, cfg)
     return jnp.swapaxes(coeffs, -1, -2)
+
+
+# ------------------------------------------------------- multi-feature pass --
+def extract(signal: jnp.ndarray, cfg: FeatureConfig,
+            which: Tuple[str, ...] = ("mfcc",)) -> dict:
+    """Compute several speechpy-family features in ONE frontend pass.
+
+    Production suites often want MFCC + log-FBE + SSC together; calling the
+    individual pipelines repeats the chunked DFT GEMM per feature.  Here the
+    [C|S|w|±w] chunk-GEMM, the Parseval energies and the log-mel run once and
+    every requested feature reads from them.  ``which`` ⊆ {"mfcc", "lmfe",
+    "mfe", "ssc", "energy"}; returns a dict (``"mfe"`` maps to the
+    (features, energies) pair, matching :func:`mfe`)."""
+    valid = {"mfcc", "lmfe", "mfe", "ssc", "energy"}
+    unknown = set(which) - valid
+    if unknown:
+        raise ValueError(f"unknown features {sorted(unknown)}; valid: {sorted(valid)}")
+    want = set(which)
+    if not _fast_path_ok(cfg):
+        out = {}
+        if want & {"mfcc", "lmfe", "mfe", "energy"}:
+            feats, energies = mfe(signal, cfg)
+            if "mfe" in want:
+                out["mfe"] = (feats, energies)
+            if "energy" in want:
+                out["energy"] = energies
+            if want & {"mfcc", "lmfe"}:
+                logm = jnp.log(feats)
+                if "lmfe" in want:
+                    out["lmfe"] = logm
+                if "mfcc" in want:
+                    coeffs = dct2_ortho(logm, cfg)
+                    if cfg.dc_elimination:
+                        coeffs = coeffs.at[..., 0].set(jnp.log(energies))
+                    out["mfcc"] = coeffs
+        if "ssc" in want:
+            out["ssc"] = ssc(signal, cfg)
+        return out
+
+    from .constants import chunk_gemm_wall
+
+    x = signal
+    if cfg.preemphasis_cof:
+        x = _framing.preemphasis(x, 1, cfg.preemphasis_cof)
+    bundle = constant_bundle(cfg)
+    kmax = bundle["fbank_kmax"]
+    need_energy = bool(want & {"mfe", "energy"}) or (
+        "mfcc" in want and cfg.dc_elimination
+    )
+    wd = chunk_gemm_wall(cfg, need_energy)
+    n = cfg.fft_points
+    m = cfg.num_filters
+    n_frames, _ = _framing.speechpy_frame_counts(
+        x.shape[-1], wd["fl"], wd["hop"], zero_padding=False
+    )
+    if n_frames <= 0:
+        empty2 = jnp.zeros(x.shape[:-1] + (0, m), x.dtype)
+        empty1 = jnp.zeros(x.shape[:-1] + (0,), x.dtype)
+        out = {}
+        if "mfcc" in want:
+            out["mfcc"] = jnp.zeros(x.shape[:-1] + (0, cfg.num_cepstral), x.dtype)
+        for k in ("lmfe", "ssc"):
+            if k in want:
+                out[k] = empty2
+        if "mfe" in want:
+            out["mfe"] = (empty2, empty1)
+        if "energy" in want:
+            out["energy"] = empty1
+        return out
+
+    ch, y = _chunk_gemm(x, wd["wall"], n_frames, wd["hop"], cfg.precision)
+    energies = None
+    if need_energy:
+        energies = _parseval_energies(
+            ch, y[..., 2 * kmax], y[..., 2 * kmax + 1], wd, n, n_frames, cfg
+        )
+    out = {}
+    if want & {"mfcc", "lmfe", "mfe"}:
+        fb2 = _stacked_fb(bundle["fbank"], kmax, wd["wall"].shape[1], 1.0 / n)
+        mel = zero_handling(
+            jnp.matmul(y * y, jnp.asarray(fb2, x.dtype), precision=cfg.precision)
+        )
+        if "mfe" in want:
+            out["mfe"] = (mel, energies)
+        if want & {"mfcc", "lmfe"}:
+            logm = jnp.log(mel)
+            if "lmfe" in want:
+                out["lmfe"] = logm
+            if "mfcc" in want:
+                coeffs = dct2_ortho(logm, cfg)
+                if cfg.dc_elimination:
+                    coeffs = coeffs.at[..., 0].set(jnp.log(energies))
+                out["mfcc"] = coeffs
+    if "energy" in want:
+        out["energy"] = energies
+    if "ssc" in want:
+        # per-bin eps substitution needs the power spectrum (see
+        # _chunked_mel_energy's SSC branch) — reuse this pass's y
+        xr = y[..., :kmax]
+        xi = y[..., kmax : 2 * kmax]
+        power = (xr * xr + xi * xi) * (1.0 / n)
+        eps = float(np.finfo(np.float64).eps)
+        pz = jnp.where(power == 0.0, jnp.asarray(eps, power.dtype), power)
+        ramp = np.linspace(1.0, cfg.sample_rate / 2.0, cfg.freq_size)
+        fbt64 = bundle["fbank"][:, :kmax].T
+        both = jnp.asarray(
+            np.concatenate([ramp[:kmax, None] * fbt64, fbt64], axis=1), x.dtype
+        )
+        nd = jnp.matmul(pz, both, precision=cfg.precision)
+        out["ssc"] = nd[..., :m] / nd[..., m:]
+    return out
 
 
 # ----------------------------------------------------------------- batching --

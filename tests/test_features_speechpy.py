@@ -188,3 +188,53 @@ class TestProcessingOps:
         out = np.asarray(m.ops.zero_handling(x))
         assert out[0] == np.float32(np.finfo(np.float32).eps)
         assert out[1] == 1.0 and out[2] == -2.0
+
+
+class TestExtractMultiFeature:
+    """features.extract: one frontend pass == the individual pipelines."""
+
+    def test_matches_individual_pipelines(self, rng):
+        import jax
+
+        sig = jnp.asarray(rng.normal(0, 0.1, 16000))
+        cfg = CFG64
+        out = F.extract(sig, cfg, which=("mfcc", "lmfe", "mfe", "ssc", "energy"))
+        feats, energies = F.mfe(sig, cfg)
+        np.testing.assert_allclose(np.asarray(out["mfcc"]),
+                                   np.asarray(F.mfcc(sig, cfg)), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out["lmfe"]),
+                                   np.asarray(F.lmfe(sig, cfg)), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out["mfe"][0]), np.asarray(feats),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out["mfe"][1]), np.asarray(energies),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out["energy"]), np.asarray(energies),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out["ssc"]),
+                                   np.asarray(F.ssc(sig, cfg)), rtol=1e-9)
+        # jittable with the which tuple static
+        jit_out = jax.jit(F.extract, static_argnums=(1, 2))(sig, cfg,
+                                                            ("mfcc", "ssc"))
+        np.testing.assert_allclose(np.asarray(jit_out["mfcc"]),
+                                   np.asarray(out["mfcc"]), rtol=1e-12)
+
+    def test_fallback_path(self, rng):
+        """Non-fast-path config (odd fft) goes through the per-feature
+        fallback and still matches."""
+        sig = jnp.asarray(rng.normal(0, 0.1, 16000))
+        cfg = CFG64.replace(fft_points=511)
+        out = F.extract(sig, cfg, which=("mfcc", "ssc"))
+        np.testing.assert_allclose(np.asarray(out["mfcc"]),
+                                   np.asarray(F.mfcc(sig, cfg)), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out["ssc"]),
+                                   np.asarray(F.ssc(sig, cfg)), rtol=1e-12)
+
+    def test_empty_and_validation(self):
+        out = F.extract(jnp.zeros(10), CFG64,
+                        which=("mfcc", "lmfe", "mfe", "ssc", "energy"))
+        assert out["mfcc"].shape == (0, CFG64.num_cepstral)
+        assert out["lmfe"].shape == (0, CFG64.num_filters)
+        assert out["mfe"][0].shape == (0, CFG64.num_filters)
+        assert out["energy"].shape == (0,)
+        with pytest.raises(ValueError, match="unknown features"):
+            F.extract(jnp.zeros(16000), CFG64, which=("mfcc", "plp"))
