@@ -29,6 +29,7 @@ from .api import (  # noqa: F401
     delta,
     delta_librosa,
     derivative_extraction,
+    extract,
     extract_derivative_feature,
     lmfe,
     log_mel_spectrogram,

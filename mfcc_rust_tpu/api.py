@@ -131,6 +131,42 @@ def ssc(signal, sampling_frequency, frame_length=0.020, frame_stride=0.01,
     return np.asarray(out)[..., : _frames_nopad(cfg, n), :]
 
 
+def extract(signal, sampling_frequency, which=("mfcc",), frame_length=0.020,
+            frame_stride=0.01, num_cepstral=13, num_filters=40,
+            fft_length=512, low_frequency=0, high_frequency=None,
+            dc_elimination=True, bucket=True, precision="highest",
+            dtype="float32"):
+    """Several speechpy-family features from ONE shared frontend pass.
+
+    ``which`` ⊆ {"mfcc", "lmfe", "mfe", "ssc", "energy"}; returns a dict of
+    numpy arrays (``"mfe"`` maps to a (features, energies) pair).  The
+    chunked DFT GEMM, Parseval energies and log-mel run once and every
+    requested feature reads from them — cheaper than calling the individual
+    entry points when a production suite wants multiple features (the
+    reference has no such combined path; each FFI call recomputes)."""
+    cfg = _speechpy_cfg(sampling_frequency, frame_length, frame_stride,
+                        num_cepstral, num_filters, fft_length, low_frequency,
+                        high_frequency, dc_elimination, precision, dtype)
+    sig, n = _prep(signal, cfg, bucket)
+    out = _jitted_extract(tuple(which))(sig, cfg)
+    k = _frames_nopad(cfg, n)
+    trimmed = {}
+    for name, val in out.items():
+        if name == "mfe":
+            trimmed[name] = (np.asarray(val[0])[..., :k, :],
+                             np.asarray(val[1])[..., :k])
+        elif name == "energy":
+            trimmed[name] = np.asarray(val)[..., :k]
+        else:
+            trimmed[name] = np.asarray(val)[..., :k, :]
+    return trimmed
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_extract(which):
+    return jax.jit(functools.partial(F.extract, which=which), static_argnums=1)
+
+
 def mel_spectrogram(signal, sampling_frequency, frame_length=0.020,
                     frame_stride=0.01, num_cepstral=13, num_filters=40,
                     fft_length=512, low_frequency=0, high_frequency=None,

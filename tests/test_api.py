@@ -141,3 +141,20 @@ def test_bucketing_bounds_jit_cache(rng):
     distinct_buckets = len({bucket_length(n) for n in lengths})
     assert added <= distinct_buckets + 1
     assert added < len(lengths) / 2
+
+
+def test_extract_facade(sig):
+    out = m.extract(sig, 16000, which=("mfcc", "lmfe", "mfe", "ssc", "energy"))
+    np.testing.assert_allclose(out["mfcc"], m.mfcc(sig, 16000), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(out["lmfe"], m.lmfe(sig, 16000), rtol=1e-6,
+                               atol=1e-6)
+    feats, energies = m.mfe(sig, 16000)
+    np.testing.assert_allclose(out["mfe"][0], feats, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out["mfe"][1], energies, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out["energy"], energies, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out["ssc"], m.ssc(sig, 16000), rtol=1e-5,
+                               atol=1e-5)
+    # bucketing transparency: every output trimmed to the true frame count
+    nb = m.extract(sig, 16000, which=("mfcc",), bucket=False)
+    np.testing.assert_allclose(out["mfcc"], nb["mfcc"], rtol=1e-6, atol=1e-6)
