@@ -23,7 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("inputs", nargs="+",
                    help="WAV files or globs (e.g. 'corpus/**/*.wav')")
     p.add_argument("--feature", default="mfcc",
-                   choices=["mfcc", "lmfe", "mfe", "ssc", "melspec"])
+                   help="one of mfcc/lmfe/mfe/ssc/energy/melspec, or a "
+                        "comma-separated list (e.g. 'mfcc,lmfe,ssc') for a "
+                        "single-frontend-pass multi-feature run writing .npz "
+                        "bundles (melspec cannot join a list)")
     p.add_argument("--sample-rate", type=int, default=16000)
     p.add_argument("--fft-points", type=int, default=512)
     p.add_argument("--frame-length", type=float, default=0.020)
@@ -97,7 +100,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         high_frequency=args.high_frequency,
         precision=args.precision,
     )
-    cfg = vorbis_config(**kw) if args.feature == "melspec" else FeatureConfig(**kw)
+    single = {"mfcc", "lmfe", "mfe", "ssc", "melspec"}
+    feature = args.feature
+    if "," in feature:
+        feature = tuple(f.strip() for f in feature.split(",") if f.strip())
+        bad = set(feature) - (single - {"melspec"} | {"energy"})
+        if bad:
+            print(f"invalid multi-feature entries: {sorted(bad)}",
+                  file=sys.stderr)
+            return 2
+    elif feature not in single:
+        print(f"invalid --feature {feature!r}", file=sys.stderr)
+        return 2
+    cfg = vorbis_config(**kw) if feature == "melspec" else FeatureConfig(**kw)
 
     # multi-host model: host-local mesh + per-host file slice (see
     # CorpusRunner docstring); single host uses all local devices anyway
@@ -108,7 +123,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         paths,
         cfg,
         mesh,
-        feature=args.feature,
+        feature=feature,
         batch_size=args.batch_size,
         out_dir=args.out_dir,
         checkpoint_path=args.checkpoint,
@@ -124,17 +139,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     moments = runner.run()
 
     if args.cmvn_out:
-        np.savez(
-            args.cmvn_out,
-            total=np.asarray(moments.total),
-            total_sq=np.asarray(moments.total_sq),
-            count=np.asarray(moments.count),
-            mean=np.asarray(moments.mean),
-            std=np.asarray(moments.std),
-        )
+        items = moments.items() if isinstance(moments, dict) else [("", moments)]
+        arrays = {}
+        for name, mom in items:
+            sfx = f"_{name}" if name else ""
+            arrays["total" + sfx] = np.asarray(mom.total)
+            arrays["total_sq" + sfx] = np.asarray(mom.total_sq)
+            arrays["count" + sfx] = np.asarray(mom.count)
+            arrays["mean" + sfx] = np.asarray(mom.mean)
+            arrays["std" + sfx] = np.asarray(mom.std)
+        np.savez(args.cmvn_out, **arrays)
     report = runner.meter.report()
     report["utterances"] = int(len(runner.indices))
-    report["corpus_frames"] = int(moments.count)
+    first = next(iter(moments.values())) if isinstance(moments, dict) else moments
+    report["corpus_frames"] = int(first.count)
     print(json.dumps(report))
     return 0
 

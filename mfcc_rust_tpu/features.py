@@ -467,6 +467,18 @@ def extract(signal: jnp.ndarray, cfg: FeatureConfig,
         return out
 
     ch, y = _chunk_gemm(x, wd["wall"], n_frames, wd["hop"], cfg.precision)
+    return _extract_heads(ch, y, wd, bundle, cfg, want, n_frames, need_energy)
+
+
+def _extract_heads(ch, y, wd, bundle, cfg: FeatureConfig, want, n_frames: int,
+                   need_energy: bool) -> dict:
+    """Per-feature heads over one shared chunk-GEMM output (see
+    :func:`extract`).  Also the shard-local body of the multi-feature
+    distributed :func:`mfcc_rust_tpu.parallel.extraction_step`."""
+    kmax = bundle["fbank_kmax"]
+    n = cfg.fft_points
+    m = cfg.num_filters
+    dt = y.dtype
     energies = None
     if need_energy:
         energies = _parseval_energies(
@@ -476,7 +488,7 @@ def extract(signal: jnp.ndarray, cfg: FeatureConfig,
     if want & {"mfcc", "lmfe", "mfe"}:
         fb2 = _stacked_fb(bundle["fbank"], kmax, wd["wall"].shape[1], 1.0 / n)
         mel = zero_handling(
-            jnp.matmul(y * y, jnp.asarray(fb2, x.dtype), precision=cfg.precision)
+            jnp.matmul(y * y, jnp.asarray(fb2, dt), precision=cfg.precision)
         )
         if "mfe" in want:
             out["mfe"] = (mel, energies)
@@ -502,7 +514,7 @@ def extract(signal: jnp.ndarray, cfg: FeatureConfig,
         ramp = np.linspace(1.0, cfg.sample_rate / 2.0, cfg.freq_size)
         fbt64 = bundle["fbank"][:, :kmax].T
         both = jnp.asarray(
-            np.concatenate([ramp[:kmax, None] * fbt64, fbt64], axis=1), x.dtype
+            np.concatenate([ramp[:kmax, None] * fbt64, fbt64], axis=1), dt
         )
         nd = jnp.matmul(pz, both, precision=cfg.precision)
         out["ssc"] = nd[..., :m] / nd[..., m:]

@@ -159,6 +159,27 @@ def _ct_stages(
 
 
 @functools.lru_cache(maxsize=16)
+def _ct_foldtw_matrices(n: int, n1: int, n2: int, k1max: int):
+    """Twiddle-folded per-r stage-2 matrices (float64, cached).
+
+    Substituting z = inner·W_N^{n1 r} into the outer DFT gives, per r,
+    ``[Xr | Xi][r] = ir[r] @ A[r] + ii[r] @ B[r]`` with
+    ``A[r] = [P_r | Q_r]``, ``B[r] = [-Q_r | P_r]``,
+    ``P_r = diag(twr_r)·c1 - diag(twi_r)·s1``,
+    ``Q_r = diag(twi_r)·c1 + diag(twr_r)·s1``  — i.e. the elementwise twiddle
+    pass and the [zr|zi] lane concat disappear into two batched (r, N1,
+    2·k1max) GEMMs (measured ~11% on the librosa mel path; see
+    exp/ct_variants.py)."""
+    _, _, c1, s1, twr, twi = _ct_constants(n, n1, n2)
+    c1t, s1t = c1[:, :k1max], s1[:, :k1max]
+    p = twr.T[:, :, None] * c1t[None] - twi.T[:, :, None] * s1t[None]
+    q = twi.T[:, :, None] * c1t[None] + twr.T[:, :, None] * s1t[None]
+    a = np.concatenate([p, q], axis=2)  # (N2, N1, 2*k1max)
+    b = np.concatenate([-q, p], axis=2)
+    return a, b
+
+
+@functools.lru_cache(maxsize=16)
 def _ct_bin_permutation(n_fft: int, n1: int, n2: int) -> np.ndarray:
     """Map flat (r, k1) plane index r*K1 + k1 -> rFFT bin k (or -1 for the
     alias entries above N/2)."""
@@ -221,10 +242,23 @@ def ct_power_project(
             f"projection width {projection_t.shape[0]} does not match the "
             f"(N2={n2}, k1max in {sorted(allowed)}) CT plane"
         )
-    # slicing xr/xi at the k1max offset costs a Mosaic relayout, but halves
-    # the projection GEMM vs squaring the merged output whole — measured
-    # faster at librosa sizes (projection K is already 2048 there)
-    xr, xi = _ct_stages(frames_n2n1, n_fft, n1, n2, precision, k1max=k1max)
+    dt = frames_n2n1.dtype
+    st1_np, _ = _ct_stage_matrices(n_fft, n1, n2, k1max)
+    # stage 1: inner DFT over n2, one left matmul -> (..., 2*N2, N1)
+    y = jnp.matmul(jnp.asarray(st1_np, dt), frames_n2n1, precision=precision)
+    ir, ii = y[..., :n2, :], y[..., n2:, :]
+    # stage 2 with the twiddle folded into per-r batched matrices: no
+    # elementwise twiddle pass, no [zr|zi] concat (see _ct_foldtw_matrices)
+    a_np, b_np = _ct_foldtw_matrices(n_fft, n1, n2, k1max)
+    x = jnp.einsum(
+        "...rn,rnk->...rk", ir, jnp.asarray(a_np, dt), precision=precision
+    ) + jnp.einsum(
+        "...rn,rnk->...rk", ii, jnp.asarray(b_np, dt), precision=precision
+    )
+    xr, xi = x[..., :k1max], x[..., k1max:]
+    # slicing at the k1max offset costs a Mosaic relayout, but halves the
+    # projection GEMM vs squaring the merged output whole — measured faster
+    # at librosa sizes (projection K is already 2048 there)
     power = (xr * xr + xi * xi) * scale
     flat = power.reshape(power.shape[:-2] + (-1,))
     return jnp.matmul(flat, projection_t, precision=precision)

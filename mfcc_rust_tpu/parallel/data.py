@@ -117,6 +117,84 @@ def _local_features(
     return feats, mask, moments
 
 
+def _local_multi(
+    signals: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FeatureConfig,
+    features: Tuple[str, ...],
+):
+    """Multi-feature shard body: ONE halo exchange + ONE chunk-GEMM frontend
+    pass feeds every requested feature head (the sharded form of
+    :func:`mfcc_rust_tpu.features.extract`).  Returns (dict of feats, mask,
+    dict of psum'd moments)."""
+    import numpy as np
+
+    from ..constants import chunk_gemm_wall, constant_bundle
+    from ..features import _chunk_gemm, _extract_heads, _fast_path_ok
+    from ..ops import framing as _framing
+    from ..ops.ssc import ssc_from_power
+
+    valid = {"mfcc", "lmfe", "mfe", "ssc", "energy"}
+    unknown = set(features) - valid
+    if unknown:
+        raise ValueError(
+            f"unknown features {sorted(unknown)}; valid: {sorted(valid)}"
+        )
+    want = set(features)
+    hop = cfg.frame_step
+    n_local = signals.shape[-1] // hop
+    seq_idx = jax.lax.axis_index(SEQ_AXIS)
+    gidx = seq_idx * n_local + jnp.arange(n_local)
+    n_valid = jnp.floor((lengths - cfg.frame_size) / hop).astype(jnp.int32)
+    mask = gidx[None, :] < n_valid[:, None]
+
+    need_energy = bool(want & {"mfe", "energy"}) or (
+        "mfcc" in want and cfg.dc_elimination
+    )
+    if _fast_path_ok(cfg) and cfg.window == "rect":
+        halo_len = min(cfg.frame_size, cfg.fft_points) - hop
+        right = halo._right_halo(signals, halo_len, SEQ_AXIS)
+        full = jnp.concatenate([signals, right], axis=-1)
+        if cfg.preemphasis_cof:
+            full = _framing.preemphasis(full, 1, cfg.preemphasis_cof)
+        bundle = constant_bundle(cfg)
+        wd = chunk_gemm_wall(cfg, need_energy)
+        ch, y = _chunk_gemm(full, wd["wall"], n_local, hop, cfg.precision)
+        out = _extract_heads(ch, y, wd, bundle, cfg, want, n_local, need_energy)
+    else:
+        power = halo.sharded_power_spectrum(signals, cfg, SEQ_AXIS)
+        energies = zero_handling(jnp.sum(power, axis=-1))
+        out = {}
+        if want & {"mfcc", "lmfe", "mfe"}:
+            mel = apply_filterbank(power, cfg, handle_zeros=True)
+            if "mfe" in want:
+                out["mfe"] = (mel, energies)
+            if want & {"mfcc", "lmfe"}:
+                logm = jnp.log(mel)
+                if "lmfe" in want:
+                    out["lmfe"] = logm
+                if "mfcc" in want:
+                    coeffs = dct2_ortho(logm, cfg)
+                    if cfg.dc_elimination:
+                        coeffs = coeffs.at[..., 0].set(jnp.log(energies))
+                    out["mfcc"] = coeffs
+        if "energy" in want:
+            out["energy"] = energies
+        if "ssc" in want:
+            out["ssc"] = ssc_from_power(power, cfg)
+
+    fmask = mask.astype(signals.dtype)
+    moments = {}
+    for name in features:
+        val = out[name][0] if name == "mfe" else out[name]
+        if name == "energy":
+            val = val[..., None]  # (Bl, Fl) -> (Bl, Fl, 1) for moment shape
+        moments[name] = psum_moments(
+            local_moments(val, fmask), (DATA_AXIS, SEQ_AXIS)
+        )
+    return out, mask, moments
+
+
 def _local_melspec(
     signals: jnp.ndarray, lengths: jnp.ndarray, cfg: FeatureConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray, CorpusMoments]:
@@ -167,6 +245,23 @@ def _extraction_step_impl(signals, lengths, cfg, feature, mesh):
     return mapped(signals, lengths)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _extraction_step_multi_impl(signals, lengths, cfg, features, mesh):
+    sharded = P(DATA_AXIS, SEQ_AXIS)
+    feat_specs = {
+        name: (sharded, sharded) if name == "mfe" else sharded
+        for name in features
+    }
+    moment_specs = {name: CorpusMoments(P(), P(), P()) for name in features}
+    mapped = shard_map(
+        functools.partial(_local_multi, cfg=cfg, features=features),
+        mesh=mesh,
+        in_specs=(sharded, P(DATA_AXIS)),
+        out_specs=(feat_specs, sharded, moment_specs),
+    )
+    return mapped(signals, lengths)
+
+
 def extraction_step(
     signals: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -179,10 +274,21 @@ def extraction_step(
     signals: (B, T) with B % mesh['data'] == 0 and
     T % (mesh['seq'] * hop) == 0; lengths: (B,) true sample counts.
     Returns (features (B, T//hop, D), mask (B, T//hop), CorpusMoments).
+
+    ``feature`` may also be a tuple/list of framed-family names ("mfcc",
+    "lmfe", "mfe", "ssc", "energy"): ONE halo exchange + ONE chunk-GEMM
+    frontend then feeds every head (the sharded
+    :func:`mfcc_rust_tpu.features.extract`), returning
+    ({name: feats}, mask, {name: CorpusMoments}).
     """
     n_data = mesh.shape[DATA_AXIS]
     n_seq = mesh.shape[SEQ_AXIS]
     b, t = signals.shape
+    multi = isinstance(feature, (tuple, list))
+    if multi and "melspec" in feature:
+        raise ValueError(
+            "melspec (vorbis hop/framing) cannot join a multi-feature pass"
+        )
     if feature == "melspec":
         if cfg.window != "vorbis":
             cfg = cfg.replace(window="vorbis")
@@ -203,4 +309,8 @@ def extraction_step(
     lengths = jax.device_put(
         jnp.asarray(lengths, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
     )
+    if multi:
+        return _extraction_step_multi_impl(
+            signals, lengths, cfg, tuple(feature), mesh
+        )
     return _extraction_step_impl(signals, lengths, cfg, feature, mesh)

@@ -44,16 +44,35 @@ def _config_fingerprint(cfg: FeatureConfig, n_paths: int, dim: int) -> str:
 
 
 class CheckpointStore:
-    """npz checkpoint: done mask + running moments + config fingerprint."""
+    """npz checkpoint: done mask + running moments + config fingerprint.
 
-    def __init__(self, path: str, n_paths: int, cfg: FeatureConfig, dim: int):
+    ``dim`` is an int for a single feature, or a {feature_name: dim} dict for
+    a multi-feature run — then ``moments`` is a matching dict and the npz
+    holds per-feature ``total_<name>`` / ``total_sq_<name>`` / ``count_<name>``
+    arrays."""
+
+    def __init__(self, path: str, n_paths: int, cfg: FeatureConfig, dim):
         self.path = Path(path)
         self.n_paths = n_paths
-        self.fingerprint = _config_fingerprint(cfg, n_paths, dim)
+        self.multi = isinstance(dim, dict)
+        self.fingerprint = _config_fingerprint(
+            cfg, n_paths, repr(sorted(dim.items())) if self.multi else dim
+        )
         self.done = np.zeros(n_paths, dtype=bool)
-        self.moments = CorpusMoments.zeros(dim)
+        if self.multi:
+            self.moments = {k: CorpusMoments.zeros(d) for k, d in dim.items()}
+        else:
+            self.moments = CorpusMoments.zeros(dim)
         if self.path.exists():
             self._load()
+
+    @staticmethod
+    def _read_moments(z, suffix: str = "") -> CorpusMoments:
+        return CorpusMoments(
+            jax.numpy.asarray(z["total" + suffix]),
+            jax.numpy.asarray(z["total_sq" + suffix]),
+            jax.numpy.asarray(z["count" + suffix]),
+        )
 
     def _load(self) -> None:
         z = np.load(self.path, allow_pickle=False)
@@ -63,41 +82,55 @@ class CheckpointStore:
                 f"config/corpus ({z['fingerprint']} != {self.fingerprint})"
             )
         self.done = z["done"]
-        self.moments = CorpusMoments(
-            jax.numpy.asarray(z["total"]),
-            jax.numpy.asarray(z["total_sq"]),
-            jax.numpy.asarray(z["count"]),
-        )
+        if self.multi:
+            self.moments = {
+                k: self._read_moments(z, f"_{k}") for k in self.moments
+            }
+        else:
+            self.moments = self._read_moments(z)
 
     def save(self) -> None:
         tmp = self.path.with_suffix(".tmp.npz")
-        np.savez(
-            tmp,
-            fingerprint=self.fingerprint,
-            done=self.done,
-            total=np.asarray(self.moments.total),
-            total_sq=np.asarray(self.moments.total_sq),
-            count=np.asarray(self.moments.count),
+        arrays = {}
+        items = (
+            [(f"_{k}", m) for k, m in self.moments.items()]
+            if self.multi
+            else [("", self.moments)]
         )
+        for suffix, m in items:
+            arrays["total" + suffix] = np.asarray(m.total)
+            arrays["total_sq" + suffix] = np.asarray(m.total_sq)
+            arrays["count" + suffix] = np.asarray(m.count)
+        np.savez(tmp, fingerprint=self.fingerprint, done=self.done, **arrays)
         os.replace(tmp, self.path)
 
-    def mark(self, indices: Sequence[int], moments: CorpusMoments) -> None:
+    def mark(self, indices: Sequence[int], moments) -> None:
         self.done[list(indices)] = True
-        self.moments = self.moments.merge(moments)
+        if self.multi:
+            self.moments = {
+                k: self.moments[k].merge(moments[k]) for k in self.moments
+            }
+        else:
+            self.moments = self.moments.merge(moments)
 
 
-def merge_checkpoints(paths: Sequence[str], dim: int) -> CorpusMoments:
-    """Deterministic cross-host merge of per-host checkpoint moments."""
+def merge_checkpoints(paths: Sequence[str], dim: int,
+                      features: Optional[Sequence[str]] = None):
+    """Deterministic cross-host merge of per-host checkpoint moments.
+    Pass ``features`` for multi-feature checkpoints; returns a dict then."""
+    if features is not None:
+        return {
+            name: tree_merge([
+                CheckpointStore._read_moments(np.load(p, allow_pickle=False),
+                                              f"_{name}")
+                for p in sorted(paths)
+            ])
+            for name in features
+        }
     parts = []
     for p in sorted(paths):
         z = np.load(p, allow_pickle=False)
-        parts.append(
-            CorpusMoments(
-                jax.numpy.asarray(z["total"]),
-                jax.numpy.asarray(z["total_sq"]),
-                jax.numpy.asarray(z["count"]),
-            )
-        )
+        parts.append(CheckpointStore._read_moments(z))
     return tree_merge(parts)
 
 
@@ -156,12 +189,29 @@ class CorpusRunner:
                     "CorpusRunner with process_count > 1 requires a host-local"
                     " mesh (make_mesh(devices=jax.local_devices()))"
                 )
-        self.feature = feature
+        self.multi = isinstance(feature, (tuple, list))
+        self.feature = tuple(feature) if self.multi else feature
         self.batch_size = batch_size
         self.out_dir = Path(out_dir) if out_dir else None
         if self.out_dir:
             self.out_dir.mkdir(parents=True, exist_ok=True)
-        dim = self.cfg.num_cepstral if feature == "mfcc" else self.cfg.num_filters
+
+        def _feat_dim(name: str) -> int:
+            if name == "mfcc":
+                return self.cfg.num_cepstral
+            if name == "energy":
+                return 1
+            return self.cfg.num_filters
+
+        if self.multi:
+            dim = {name: _feat_dim(name) for name in self.feature}
+            # multi-feature outputs are .npz bundles, one array per feature
+            self._out_names = {
+                i: name[: -len(".npy")] + ".npz"
+                for i, name in self._out_names.items()
+            }
+        else:
+            dim = _feat_dim(feature)
         self.dim = dim
         self.store = (
             CheckpointStore(checkpoint_path, len(self.all_paths), self.cfg, dim)
@@ -200,10 +250,12 @@ class CorpusRunner:
             i for i in self.indices
             if not (self.store is not None and self.store.done[i])
         ]
-        moments = (
-            self.store.moments if self.store is not None
-            else CorpusMoments.zeros(self.dim)
-        )
+        if self.store is not None:
+            moments = self.store.moments
+        elif self.multi:
+            moments = {k: CorpusMoments.zeros(d) for k, d in self.dim.items()}
+        else:
+            moments = CorpusMoments.zeros(self.dim)
         if not todo:
             return moments
 
@@ -264,17 +316,35 @@ class CorpusRunner:
                 feats, mask, batch_moments = extraction_step(
                     sig, lens, self.cfg, self.mesh, self.feature
                 )
-                feats = np.asarray(feats)
+                if self.multi:
+                    feats = {
+                        k: np.asarray(v[0] if k == "mfe" else v)
+                        for k, v in feats.items()
+                    }
+                else:
+                    feats = np.asarray(feats)
                 mask = np.asarray(mask)
-            moments = moments.merge(batch_moments)
+            if self.multi:
+                moments = {
+                    k: moments[k].merge(batch_moments[k]) for k in moments
+                }
+            else:
+                moments = moments.merge(batch_moments)
             if self.out_dir:
                 for r, utt_id in enumerate(ids):
                     out_path = self.out_dir / self._out_names[utt_id]
                     if out_path.exists():
                         continue  # idempotent restart-safe output
                     n_valid = int(mask[r].sum())
-                    tmp = out_path.with_suffix(".tmp.npy")
-                    np.save(tmp, feats[r, :n_valid])
+                    if self.multi:
+                        tmp = out_path.with_suffix(".tmp.npz")
+                        np.savez(
+                            tmp,
+                            **{k: v[r, :n_valid] for k, v in feats.items()},
+                        )
+                    else:
+                        tmp = out_path.with_suffix(".tmp.npy")
+                        np.save(tmp, feats[r, :n_valid])
                     os.replace(tmp, out_path)
             if self.store is not None:
                 self.store.mark(ids, batch_moments)

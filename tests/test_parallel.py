@@ -183,3 +183,41 @@ def test_extraction_step_ssc(rng):
         feats[:, :n_valid], single[:, :n_valid], rtol=2e-3, atol=2e-1
     )
     assert int(moments.count) == b * n_valid
+
+
+def test_extraction_step_multi_feature(rng):
+    """Tuple feature: one frontend pass == the per-feature steps, with
+    per-feature psum'd moments."""
+    mesh = make_mesh(n_data=2, n_seq=2)
+    cfg = m.speechpy_config(16000)
+    hop = cfg.frame_step
+    t, b = hop * 80, 4
+    sigs = rng.normal(0, 0.1, (b, t)).astype(np.float32)
+    lengths = np.array([t, t - 777, t - 3200, hop * 40])
+    out, mask, moments = extraction_step(
+        sigs, lengths, cfg, mesh, ("mfcc", "lmfe", "mfe", "ssc", "energy")
+    )
+    mask = np.asarray(mask)
+    assert sorted(out) == ["energy", "lmfe", "mfcc", "mfe", "ssc"]
+    for name in ("mfcc", "lmfe", "ssc"):
+        single, smask, smoments = extraction_step(sigs, lengths, cfg, mesh, name)
+        np.testing.assert_array_equal(mask, np.asarray(smask))
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(single), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(moments[name].total), np.asarray(smoments.total),
+            rtol=1e-6,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["mfe"][1]), np.asarray(out["energy"]), rtol=1e-7
+    )
+    # energy moments are over the (B, F, 1) energy column
+    valid = np.asarray(out["energy"])[mask.astype(bool)]
+    np.testing.assert_allclose(
+        np.asarray(moments["energy"].total), valid.sum(keepdims=True), rtol=1e-5
+    )
+    with pytest.raises(ValueError, match="melspec"):
+        extraction_step(sigs, lengths, cfg, mesh, ("mfcc", "melspec"))
+    with pytest.raises(ValueError, match="unknown features"):
+        extraction_step(sigs, lengths, cfg, mesh, ("mfcc", "plp"))

@@ -175,3 +175,65 @@ def test_runner_rate_mismatch_raises(tmp_path, rng):
                           batch_size=1, out_dir=str(tmp_path / "o"))
     with pytest.raises(ValueError, match="sample rate"):
         runner.run()
+
+
+def test_runner_multi_feature(corpus, tmp_path):
+    """Tuple feature: .npz outputs match the single-feature runs, moments and
+    checkpoint resume are per-feature."""
+    paths, clips = corpus
+    mesh = make_mesh(n_data=4, n_seq=1)
+    out = tmp_path / "multi"
+    ckpt = tmp_path / "ckpt.npz"
+    which = ("mfcc", "lmfe", "energy")
+    runner = CorpusRunner(paths, CFG, mesh, feature=which, batch_size=4,
+                          out_dir=str(out), checkpoint_path=str(ckpt))
+    moments = runner.run()
+    assert sorted(moments) == sorted(which)
+
+    single_out = tmp_path / "single"
+    single = CorpusRunner(paths, CFG, mesh, feature="mfcc", batch_size=4,
+                          out_dir=str(single_out))
+    smoments = single.run()
+    import pathlib
+    for p in paths:
+        stem = pathlib.Path(p).stem
+        z = np.load(out / f"{stem}.npz")
+        assert sorted(z.files) == sorted(which)
+        ref = np.load(single_out / f"{stem}.npy")
+        np.testing.assert_allclose(z["mfcc"], ref, rtol=1e-6, atol=1e-6)
+        assert z["lmfe"].shape == (ref.shape[0], CFG.num_filters)
+        assert z["energy"].shape == (ref.shape[0],)
+    np.testing.assert_allclose(np.asarray(moments["mfcc"].total),
+                               np.asarray(smoments.total), rtol=1e-6)
+    assert int(moments["energy"].count) == int(smoments.count)
+
+    # resume from the multi checkpoint: everything done, moments preserved
+    r2 = CorpusRunner(paths, CFG, mesh, feature=which, batch_size=4,
+                      out_dir=str(out), checkpoint_path=str(ckpt))
+    m2 = r2.run()
+    np.testing.assert_allclose(np.asarray(m2["mfcc"].total),
+                               np.asarray(moments["mfcc"].total))
+
+    # cross-host merge of multi checkpoints
+    merged = merge_checkpoints([str(ckpt)], None, features=which)
+    np.testing.assert_allclose(np.asarray(merged["lmfe"].total),
+                               np.asarray(moments["lmfe"].total))
+
+
+def test_cli_multi_feature(corpus, tmp_path, capsys):
+    from mfcc_rust_tpu.cli import main
+
+    paths, _ = corpus
+    out = tmp_path / "cli_multi"
+    rc = main([*paths[:4], "--feature", "mfcc,ssc", "--out-dir", str(out),
+               "--cmvn-out", str(tmp_path / "cmvn.npz"), "--quiet"])
+    assert rc == 0
+    import json
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["corpus_frames"] > 0
+    z = np.load(tmp_path / "cmvn.npz")
+    assert "mean_mfcc" in z.files and "mean_ssc" in z.files
+    npz = np.load(out / (sorted(out.iterdir())[0].name))
+    assert sorted(npz.files) == ["mfcc", "ssc"]
+    assert main([*paths[:1], "--feature", "mfcc,melspec",
+                 "--out-dir", str(out)]) == 2
