@@ -51,3 +51,20 @@ again = CorpusRunner(paths, FeatureConfig(sample_rate=16000), make_mesh(),
                      batch_size=4, checkpoint_path=os.path.join(work, "state.npz"))
 again.run()
 print("resume processed batches:", again.meter.batches, "(0 = resumed clean)")
+
+# multi-feature: one frontend pass writes an .npz bundle per utterance and
+# keeps per-feature corpus moments (same thing via the CLI:
+#   python -m mfcc_rust_tpu 'corpus/*.wav' --feature mfcc,lmfe,ssc --out-dir ...)
+multi = CorpusRunner(
+    paths,
+    FeatureConfig(sample_rate=16000),
+    make_mesh(),
+    feature=("mfcc", "lmfe", "ssc", "energy"),
+    batch_size=4,
+    out_dir=os.path.join(work, "feats_multi"),
+)
+mmoments = multi.run()
+print("multi-feature moments:",
+      {k: tuple(np.asarray(v.mean).shape) for k, v in mmoments.items()})
+bundle = np.load(os.path.join(work, "feats_multi", "utt000.npz"))
+print("utt000 bundle:", {k: bundle[k].shape for k in bundle.files})
