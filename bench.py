@@ -98,6 +98,22 @@ def suite():
         ),
     )
 
+    # librosa fast mode: precision="high" (3-pass MXU; max-rel ~1e-4 vs the
+    # f64 oracle, measured on v5e — see exp/ct_shootout.py)
+    import dataclasses
+
+    lcfg_hi = dataclasses.replace(lcfg, precision="high")
+    _emit(
+        "audio_seconds_per_sec_per_chip (librosa mel, precision=high fast mode)",
+        _slope_timer(
+            lambda x: features.mel_spectrogram_librosa(x, lcfg_hi).sum(),
+            lambda k: jnp.asarray(
+                rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
+            ),
+            b2 * 10.0,
+        ),
+    )
+
     # librosa MFCC (rides the CT-fused mel path)
     _emit(
         "audio_seconds_per_sec_per_chip (librosa mfcc 20)",

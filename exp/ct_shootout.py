@@ -12,6 +12,24 @@ Variants:
   e2e_hi   — same at precision="high" (3-pass MXU)
   e2e_def  — same at precision="default" (bf16 MXU)
 Accuracy of the precision modes vs the f64 oracle is reported first.
+
+RESULTS (TPU v5e, 2026-08-18; note the device-side RNG runs inside the
+timed scan, so kernel-variant lines carry ~4x the RNG overhead of e2e
+lines — compare within a shape, not across):
+
+    acc highest  max-rel 4.84e-07 med-rel 5.40e-08
+    acc high     max-rel 9.22e-05 med-rel 2.87e-05
+    acc default  max-rel 2.37e-02 med-rel 1.53e-03
+    shipped       1.927 ms     166.1k audio-s/s
+    packed        4.213 ms      76.0k audio-s/s
+    e2e           3.003 ms     106.6k audio-s/s
+    e2e_hi        2.508 ms     127.6k audio-s/s
+    e2e_def       1.177 ms     271.9k audio-s/s
+
+Takeaways: (1) real-packing loses ~2x (see exp/ct_packed.py); (2) the MXU
+pass count is the remaining lever — precision="high" buys ~20% e2e at
+~1e-4 max-rel accuracy, bf16 ~2.5x at ~2e-2; (3) framing overhead is ~11%
+of e2e, so kernel-side work is done.
 """
 
 import sys
