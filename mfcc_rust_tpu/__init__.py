@@ -53,3 +53,13 @@ from .config import (  # noqa: F401
 from .ops.resample import resample, resample_poly  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy: importing the torch bridge pulls torch itself, which package
+    # import must not do (jax-only deployments).
+    if name == "torch_compat":
+        import importlib
+
+        return importlib.import_module(".torch_compat", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
