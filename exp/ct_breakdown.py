@@ -6,6 +6,27 @@ Where do the ~59% of non-MXU cycles go?  Time, with the slope method:
   noconcat    — frames pre-materialized (isolates the r-slice concat cost)
   gemms       — CT stages + projection only on pre-windowed frames
   stage2_proj — stage-2 GEMM + projection only (the FLOPs core)
+
+RESULTS (TPU v5e, 2026-08-19):
+
+    full            2.286 ms     140.0k audio-s/s
+    high            2.491 ms     128.5k audio-s/s
+    noconcat        1.994 ms     160.5k audio-s/s
+    gemms           2.589 ms     123.6k audio-s/s   (reads frames from HBM)
+    stage2_proj     0.802 ms     399.1k audio-s/s
+
+Takeaways: the FLOPs core (stage-2 batched GEMMs + mel projection) is only
+0.80 ms — 65% of the pipeline is frame materialization (4x signal bytes),
+the window multiply, and the stage-1 batched-tiny GEMM (per-frame M=32,
+K=16, N=128 — far below an MXU tile, so it is HBM-round-trip-bound, not
+FLOPs-bound).  "gemms" being *slower* than "full" confirms it: feeding the
+same GEMMs from a pre-materialized HBM frames tensor loses to the fused
+producer.  The remaining ~2.5x on this path therefore needs a Pallas kernel
+that builds windowed (N2, N1) frames in VMEM straight from the signal and
+runs stage 1 as broadcast-scalar VPU FMAs (131 kFLOP/frame — trivial next
+to stage 2), keeping every intermediate in VMEM.  XLA-level reformulations
+were tried and lost: swapping decimation order needs a stride-16 transpose
+of every frame; a dense merged stage-1+window matrix is 64x the FLOPs.
 """
 
 import sys

@@ -99,13 +99,20 @@ class FeatureExtractor:
 class StreamingFeatures:
     """Streaming MFCC / log-FBE / MFE session with speechpy framing
     semantics (something the reference cannot do at all: its mfcc path is
-    batch-only, feature.rs:94-148).
+    batch-only, feature.rs:94-148), plus a ``"mel_librosa"`` family — the
+    ``librosa.stream`` analogue: block-wise center=False mel spectrogram.
 
     Feed arbitrary-length chunks; frames are emitted as soon as complete.
     The session is *exactly* batch-equivalent: after feeding a total of L
     samples, the concatenated emissions equal ``features.<feature>(x[:L])``
     — including speechpy's no-padding frame-count quirk (the trailing frame
-    that `floor((L-fl)/hop)` drops is never emitted)."""
+    that `floor((L-fl)/hop)` drops is never emitted).  For ``mel_librosa``
+    the batch equivalent is ``mel_spectrogram_librosa`` with center=False
+    (librosa's own documented streaming semantics — centering needs future
+    samples); emissions are frame-major ``(new_frames, n_mels)``.  dB / MFCC
+    heads are deliberately not offered here: ``power_to_db``'s ``top_db``
+    clamp references the block max, so they are not streamable exactly —
+    apply them to the session's concatenated output instead."""
 
     #: emission counts are padded up to these bucket sizes so ragged chunk
     #: schedules reuse a handful of compiled shapes instead of one per n_new
@@ -113,9 +120,17 @@ class StreamingFeatures:
 
     def __init__(self, cfg: Optional[FeatureConfig] = None,
                  sample_rate: int = 16000, feature: str = "mfcc"):
-        if feature not in ("mfcc", "lmfe", "mfe"):
+        if feature not in ("mfcc", "lmfe", "mfe", "mel_librosa"):
             raise ValueError(f"unsupported streaming feature {feature!r}")
-        self.cfg = cfg if cfg is not None else FeatureConfig(sample_rate=sample_rate)
+        if feature == "mel_librosa":
+            from ..config import librosa_config
+
+            cfg = cfg if cfg is not None else librosa_config(sample_rate)
+            # centering needs fft//2 future samples — librosa.stream itself
+            # mandates center=False for block processing
+            self.cfg = cfg.replace(center=False)
+        else:
+            self.cfg = cfg if cfg is not None else FeatureConfig(sample_rate=sample_rate)
         if self.cfg.preemphasis_cof:
             # np.roll wrap semantics make pre-emphasis depend on the LAST
             # sample of the whole signal — inherently un-streamable; apply
@@ -126,7 +141,14 @@ class StreamingFeatures:
                 "pre-emphasize the signal before streaming instead"
             )
         self.feature = feature
-        self._fn = jax.jit(functools.partial(getattr(F, feature), cfg=self.cfg))
+        if feature == "mel_librosa":
+            self._fn = jax.jit(
+                lambda s: jnp.swapaxes(
+                    F.mel_spectrogram_librosa(s, self.cfg), -1, -2
+                )
+            )
+        else:
+            self._fn = jax.jit(functools.partial(getattr(F, feature), cfg=self.cfg))
         self.reset()
 
     def reset(self) -> None:
@@ -136,6 +158,9 @@ class StreamingFeatures:
 
     def _frames_ready(self, total: int) -> int:
         fl, hop = self.cfg.frame_size, self.cfg.frame_step
+        if self.feature == "mel_librosa":
+            # librosa center=False frame count: 1 + (L - n_fft)//hop
+            return max(0, (total - fl) // hop + 1) if total >= fl else 0
         return max(0, (total - fl) // hop)
 
     def process(self, chunk):
@@ -154,7 +179,10 @@ class StreamingFeatures:
         # pad the emission count up to a bucket so the jit cache stays small
         # under ragged chunk schedules; zero-padded tail frames are discarded
         n_b = next((b for b in self.EMIT_BUCKETS if b >= n_new), n_new)
-        need = n_b * hop + fl
+        # minimal length emitting exactly n_b frames: speechpy's no-padding
+        # count floor((L-fl)/hop) needs n_b*hop + fl; librosa's 1+(L-fl)/hop
+        # needs one hop less
+        need = n_b * hop + (fl - hop if self.feature == "mel_librosa" else fl)
         sl = self._buf[:need]
         if len(sl) < need:
             sl = np.concatenate([sl, np.zeros(need - len(sl), self.cfg.dtype)])

@@ -78,7 +78,7 @@ def _wrap(api_fn):
         return _back(api_fn(from_torch(signal), *args, **kwargs), like)
 
     wrapped.__doc__ = (
-        f"torch-tensor wrapper of ``mfcc_rust_tpu.api.{api_fn.__name__}`` "
+        f"torch-tensor wrapper of the numpy facade ``{api_fn.__name__}`` "
         f"(same signature; tensor in, tensor out on the input's device).\n\n"
         + (api_fn.__doc__ or "")
     )
@@ -103,8 +103,14 @@ derivative_extraction = _wrap(_api.derivative_extraction)
 extract_derivative_feature = _wrap(_api.extract_derivative_feature)
 stack_frames = _wrap(_api.stack_frames)
 log_power_spectrum = _wrap(_api.log_power_spectrum)
-resample = _wrap(lambda sig, orig_sr, target_sr: np.asarray(_resample_np(sig, orig_sr, target_sr)))
-resample.__name__ = "resample"
+def _resample_api(signal, orig_sr, target_sr):
+    """Polyphase resampling (scipy ``resample_poly`` Kaiser-5.0 semantics) as
+    one chunk-GEMM; see :func:`mfcc_rust_tpu.ops.resample.resample`."""
+    return np.asarray(_resample_np(signal, orig_sr, target_sr))
+
+
+_resample_api.__name__ = "resample"
+resample = _wrap(_resample_api)
 
 __all__ += [
     "cmvn", "cmvnw", "delta", "delta_librosa", "derivative_extraction",

@@ -113,3 +113,36 @@ class TestStreamingFeatures:
 
         with pytest.raises(ValueError):
             StreamingFeatures(m.speechpy_config(16000), feature="ssc")
+
+    def test_streaming_librosa_mel_equals_batch(self, rng):
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        cfg = m.librosa_config(22050).replace(dtype="float64", center=False)
+        sig = rng.normal(0, 0.1, 44100)
+        sess = StreamingFeatures(cfg, feature="mel_librosa")
+        assert sess.cfg.center is False
+        outs = []
+        # ragged chunks, incl. sub-frame ones (librosa.stream-style blocks)
+        cuts = [0, 500, 2048, 2100, 9000, 22050, 22051, 40000, 44100]
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            outs.append(sess.process(sig[a:b]))
+        stream = np.concatenate(outs, axis=0)
+        batch = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(sig), cfg)).T
+        assert stream.shape == batch.shape
+        np.testing.assert_allclose(stream, batch, rtol=1e-10, atol=1e-12)
+        # reset gives a fresh, identical session
+        sess.reset()
+        again = np.concatenate([sess.process(sig[:22050]),
+                                sess.process(sig[22050:])], axis=0)
+        np.testing.assert_allclose(again, batch, rtol=1e-10, atol=1e-12)
+
+    def test_streaming_librosa_default_config_forces_uncentered(self):
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        sess = StreamingFeatures(sample_rate=22050, feature="mel_librosa")
+        assert sess.cfg.center is False  # centering needs future samples
+        assert sess.cfg.window == "hann"
+        out = sess.process(np.zeros(2047, np.float32))
+        assert out.shape == (0, 128)  # one sample short of the first frame
+        out = sess.process(np.zeros(1, np.float32))
+        assert out.shape == (1, 128)  # librosa count: 1 + (L - n_fft)//hop
