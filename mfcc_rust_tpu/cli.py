@@ -143,10 +143,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         arrays = {}
         for name, mom in items:
             sfx = f"_{name}" if name else ""
-            arrays["total" + sfx] = np.asarray(mom.total)
-            arrays["total_sq" + sfx] = np.asarray(mom.total_sq)
             arrays["count" + sfx] = np.asarray(mom.count)
             arrays["mean" + sfx] = np.asarray(mom.mean)
+            arrays["m2" + sfx] = np.asarray(mom.m2)
             arrays["std" + sfx] = np.asarray(mom.std)
         np.savez(args.cmvn_out, **arrays)
     report = runner.meter.report()

@@ -298,6 +298,16 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
     :func:`mfcc_rust_tpu.config.librosa_config`."""
     n = cfg.fft_points
     hop = cfg.frame_step
+    if cfg.frame_size != n:
+        # librosa has no frame length distinct from n_fft: frames are always
+        # n_fft samples; shorter analysis windows go through win_length
+        # (center-padded to n_fft).  A speechpy-style frame_size here would
+        # silently change the frame count, so reject it loudly (ADVICE r1).
+        raise ValueError(
+            f"mel_spectrogram_librosa frames by fft_points={n}, but "
+            f"cfg.frame_size={cfg.frame_size}; build the config with "
+            "librosa_config() (use win_length for short analysis windows)"
+        )
     if _librosa_ct_ok(cfg):
         return _librosa_ct_mel(signal, cfg)
     if _fast_path_ok(cfg) and cfg.frame_size == n:

@@ -126,6 +126,14 @@ class StreamingFeatures:
             from ..config import librosa_config
 
             cfg = cfg if cfg is not None else librosa_config(sample_rate)
+            if cfg.frame_size != cfg.fft_points:
+                # fail here rather than emitting silently truncated frames:
+                # mel_spectrogram_librosa frames by fft_points (ADVICE r1)
+                raise ValueError(
+                    "mel_librosa streaming requires frame_size == fft_points"
+                    " (librosa frames by n_fft; use win_length for short"
+                    " analysis windows)"
+                )
             # centering needs fft//2 future samples — librosa.stream itself
             # mandates center=False for block processing
             self.cfg = cfg.replace(center=False)
@@ -156,8 +164,17 @@ class StreamingFeatures:
         self._seen = 0
         self._emitted = 0
 
+    def _frame_len(self) -> int:
+        # mel_librosa frames by n_fft (librosa pads win_length<n_fft windows
+        # up to n_fft and slides n_fft-sample frames); the speechpy family
+        # frames by frame_size
+        return (
+            self.cfg.fft_points if self.feature == "mel_librosa"
+            else self.cfg.frame_size
+        )
+
     def _frames_ready(self, total: int) -> int:
-        fl, hop = self.cfg.frame_size, self.cfg.frame_step
+        fl, hop = self._frame_len(), self.cfg.frame_step
         if self.feature == "mel_librosa":
             # librosa center=False frame count: 1 + (L - n_fft)//hop
             return max(0, (total - fl) // hop + 1) if total >= fl else 0
@@ -171,7 +188,7 @@ class StreamingFeatures:
         self._seen += len(chunk)
         ready = self._frames_ready(self._seen)
         n_new = ready - self._emitted
-        fl, hop = self.cfg.frame_size, self.cfg.frame_step
+        fl, hop = self._frame_len(), self.cfg.frame_step
         if n_new <= 0:
             d = self.cfg.num_cepstral if self.feature == "mfcc" else self.cfg.num_filters
             empty = np.zeros((0, d), dtype=self.cfg.dtype)

@@ -19,15 +19,23 @@ EPS = 2.0 ** -30  # the reference's eps (processing.rs:275)
 
 def cmvn(vec: jnp.ndarray, variance_normalization: bool = False) -> jnp.ndarray:
     """Global per-feature mean (and optional variance) normalization over the
-    observation axis (-2), one observation per row (processing.rs:265-300)."""
-    centered = vec - jnp.mean(vec, axis=-2, keepdims=True)
+    observation axis (-2), one observation per row (processing.rs:265-300).
+
+    The mean is computed in two passes (mean of residuals re-added) so f32
+    large-mean features don't inherit the ~ulp(T * mean) summation error of
+    a single pass; the std then runs on the well-centered residuals."""
+    m1 = jnp.mean(vec, axis=-2, keepdims=True)
+    mean = m1 + jnp.mean(vec - m1, axis=-2, keepdims=True)
+    centered = vec - mean
     if variance_normalization:
-        stdev = jnp.std(vec - jnp.mean(vec, axis=-2, keepdims=True), axis=-2, keepdims=True)
+        stdev = jnp.sqrt(jnp.mean(centered * centered, axis=-2, keepdims=True))
         return centered / (stdev + EPS)
     return centered
 
 
-def _windowed_moments(x: jnp.ndarray, win_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _windowed_moments(
+    x: jnp.ndarray, win_size: int, want_sq: bool = True
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Per-row sliding (mean, E[x^2]) over symmetric-padded rows via cumsum.
     x: (..., T, D) -> two (..., T, D)."""
     pad_size = (win_size - 1) // 2
@@ -35,9 +43,11 @@ def _windowed_moments(x: jnp.ndarray, win_size: int) -> Tuple[jnp.ndarray, jnp.n
     xp = jnp.pad(x, pad, mode="symmetric")
     zero = jnp.zeros(x.shape[:-2] + (1, x.shape[-1]), dtype=x.dtype)
     cs = jnp.concatenate([zero, jnp.cumsum(xp, axis=-2)], axis=-2)
-    cs2 = jnp.concatenate([zero, jnp.cumsum(xp * xp, axis=-2)], axis=-2)
     t = x.shape[-2]
     mean = (cs[..., win_size : win_size + t, :] - cs[..., :t, :]) / win_size
+    if not want_sq:
+        return mean, None
+    cs2 = jnp.concatenate([zero, jnp.cumsum(xp * xp, axis=-2)], axis=-2)
     mean2 = (cs2[..., win_size : win_size + t, :] - cs2[..., :t, :]) / win_size
     return mean, mean2
 
@@ -48,11 +58,21 @@ def cmvnw(
     """Sliding-window CMVN (processing.rs:315-371 semantics).  The reference
     loops over rows taking a fresh window mean/std per row; here both passes
     are cumsum moving-averages.  Window std is the population std of the
-    window (ddof=0), matching ``std_axis(Axis(0), 0.)``."""
+    window (ddof=0), matching ``std_axis(Axis(0), 0.)``.
+
+    f32 robustness: the cumsums are taken over globally pre-shifted data —
+    a cumsum of raw large-mean features (e.g. +1e4 offsets) grows to ~1e7+
+    where f32 rounding wrecks the window means; shifting by the global
+    per-feature mean keeps every running sum at data scale.  The shift
+    cancels identically in the output (window_mean(x) = shift +
+    window_mean(x - shift)); the variance pass runs on the centered values
+    where means are already ~0."""
     if win_size % 2 != 1:
         raise ValueError("Windows size must be odd!")
-    mean, _ = _windowed_moments(vec, win_size)
-    centered = vec - mean
+    shift = jnp.mean(vec, axis=-2, keepdims=True)
+    v0 = vec - shift
+    mean0, _ = _windowed_moments(v0, win_size, want_sq=False)
+    centered = v0 - mean0
     if not variance_normalization:
         return centered
     cmean, cmean2 = _windowed_moments(centered, win_size)
@@ -84,10 +104,19 @@ def masked_moments(
 
 def apply_corpus_cmvn(
     feats: jnp.ndarray,
-    moments: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    moments,
     variance_normalization: bool = True,
 ) -> jnp.ndarray:
-    """Normalize features with (sum, sum_sq, count) corpus moments."""
+    """Normalize features with corpus moments — either a Welford
+    :class:`mfcc_rust_tpu.parallel.stats.CorpusMoments` (preferred: its
+    variance is cancellation-free in f32) or a raw (sum, sum_sq, count)
+    triple from :func:`masked_moments`."""
+    if hasattr(moments, "m2"):
+        mean = moments.mean
+        centered = feats - mean
+        if not variance_normalization:
+            return centered
+        return centered / (moments.std + EPS)
     s, ss, n = moments
     mean = s / n
     centered = feats - mean

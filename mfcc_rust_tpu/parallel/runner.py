@@ -48,8 +48,8 @@ class CheckpointStore:
 
     ``dim`` is an int for a single feature, or a {feature_name: dim} dict for
     a multi-feature run — then ``moments`` is a matching dict and the npz
-    holds per-feature ``total_<name>`` / ``total_sq_<name>`` / ``count_<name>``
-    arrays."""
+    holds per-feature ``count_<name>`` / ``mean_<name>`` / ``m2_<name>``
+    arrays (legacy total/total_sq checkpoints load with a conversion)."""
 
     def __init__(self, path: str, n_paths: int, cfg: FeatureConfig, dim):
         self.path = Path(path)
@@ -68,10 +68,23 @@ class CheckpointStore:
 
     @staticmethod
     def _read_moments(z, suffix: str = "") -> CorpusMoments:
+        if "mean" + suffix in getattr(z, "files", z):
+            return CorpusMoments(
+                jax.numpy.asarray(z["count" + suffix]),
+                jax.numpy.asarray(z["mean" + suffix]),
+                jax.numpy.asarray(z["m2" + suffix]),
+            )
+        # legacy (sum, sum_sq, count) checkpoint: convert to Welford form
+        # (loses the old form's cancellation error, nothing else)
+        total = np.asarray(z["total" + suffix], np.float64)
+        total_sq = np.asarray(z["total_sq" + suffix], np.float64)
+        count = float(z["count" + suffix])
+        mean = total / max(count, 1.0)
+        m2 = np.maximum(total_sq - total * mean, 0.0)
         return CorpusMoments(
-            jax.numpy.asarray(z["total" + suffix]),
-            jax.numpy.asarray(z["total_sq" + suffix]),
-            jax.numpy.asarray(z["count" + suffix]),
+            jax.numpy.asarray(np.float32(count)),
+            jax.numpy.asarray(mean.astype(np.float32)),
+            jax.numpy.asarray(m2.astype(np.float32)),
         )
 
     def _load(self) -> None:
@@ -98,9 +111,9 @@ class CheckpointStore:
             else [("", self.moments)]
         )
         for suffix, m in items:
-            arrays["total" + suffix] = np.asarray(m.total)
-            arrays["total_sq" + suffix] = np.asarray(m.total_sq)
             arrays["count" + suffix] = np.asarray(m.count)
+            arrays["mean" + suffix] = np.asarray(m.mean)
+            arrays["m2" + suffix] = np.asarray(m.m2)
         np.savez(tmp, fingerprint=self.fingerprint, done=self.done, **arrays)
         os.replace(tmp, self.path)
 
@@ -158,20 +171,18 @@ class CorpusRunner:
         # host shard of the corpus
         self.indices = list(range(process_index, len(self.all_paths), process_count))
         self.max_seconds = max_seconds
-        # Deterministic, collision-free output names: first pass claims every
-        # natural stem for its first occurrence; second pass gives duplicates
-        # an index suffix, bumping further if the suffixed name happens to
-        # collide with another file's natural stem.  Same mapping on every
-        # restart, so resume stays idempotent.
+        # Deterministic, collision-free output names in one explicit pass
+        # over corpus-index order: the first file with a given stem keeps it;
+        # later collisions take an index suffix, then trailing underscores
+        # until unused.  The mapping depends only on the path list, so every
+        # restart reproduces it and resume stays idempotent.
         self._out_names = {}
-        claimed = {}
-        for i, p in enumerate(self.all_paths):
-            claimed.setdefault(Path(p).stem, i)
         used = set()
         for i, p in enumerate(self.all_paths):
-            stem = Path(p).stem
-            name = stem if claimed[stem] == i else f"{stem}_{i:06d}"
-            while name in claimed and claimed.get(name) != i or name in used:
+            name = Path(p).stem
+            if name in used:
+                name = f"{name}_{i:06d}"
+            while name in used:
                 name += "_"
             used.add(name)
             self._out_names[i] = f"{name}.npy"

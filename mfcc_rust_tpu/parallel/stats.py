@@ -1,10 +1,18 @@
 """Distributed corpus statistics — the psum generalization of ``cmvn``.
 
 The reference's CMVN is a two-pass in-memory reduction over one feature
-matrix (processing.rs:265-300).  At corpus scale the moments (sum, sum of
-squares, count) are accumulated per shard and reduced with ``psum`` across
-the mesh (ICI within a slice, DCN across hosts) — SURVEY §5's "distributed
-communication backend" equivalent.  A deterministic pairwise merge is
+matrix (processing.rs:265-300).  At corpus scale the moments are accumulated
+per shard and reduced across the mesh (ICI within a slice, DCN across hosts)
+— SURVEY §5's "distributed communication backend" equivalent.
+
+Numerics: the naive (sum, sum_sq) accumulation computes the variance as
+``E[x^2] - mean^2``, which cancels catastrophically in float32 for
+large-mean features (mean 1e4 -> mean^2 1e8, where f32 resolution is ~8 —
+the entire variance of unit-scale data vanishes).  Moments are therefore
+carried in Welford/Chan form ``(count, mean, M2 = sum((x - mean)^2))``:
+every quantity stays at data scale, merging two states is the numerically
+stable Chan update, and the distributed reduction composes from ``psum`` of
+count / count-weighted mean / shifted M2.  A deterministic pairwise merge is
 provided for bit-reproducible multi-round accumulation.
 """
 
@@ -15,38 +23,45 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.normalize import EPS, masked_moments
+from ..ops.normalize import EPS
 
 
 class CorpusMoments(NamedTuple):
-    """Running (sum, sum_sq, count) over feature dimension D."""
+    """Running Welford/Chan state over feature dimension D:
+    ``count`` (scalar), ``mean`` (D,), ``m2 = sum((x - mean)^2)`` (D,)."""
 
-    total: jnp.ndarray  # (D,)
-    total_sq: jnp.ndarray  # (D,)
     count: jnp.ndarray  # scalar
+    mean: jnp.ndarray  # (D,)
+    m2: jnp.ndarray  # (D,)
 
     @classmethod
     def zeros(cls, dim: int, dtype=jnp.float32) -> "CorpusMoments":
         return cls(
-            jnp.zeros(dim, dtype), jnp.zeros(dim, dtype), jnp.zeros((), dtype)
+            jnp.zeros((), dtype), jnp.zeros(dim, dtype), jnp.zeros(dim, dtype)
         )
 
     def merge(self, other: "CorpusMoments") -> "CorpusMoments":
-        return CorpusMoments(
-            self.total + other.total,
-            self.total_sq + other.total_sq,
-            self.count + other.count,
-        )
+        """Chan's parallel combine: stable for any mean magnitude, exact for
+        empty operands."""
+        n = self.count + other.count
+        w = other.count / jnp.maximum(n, 1.0)
+        delta = other.mean - self.mean
+        mean = self.mean + delta * w
+        m2 = self.m2 + other.m2 + (delta * delta) * (self.count * w)
+        return CorpusMoments(n, mean, m2)
 
     @property
-    def mean(self) -> jnp.ndarray:
-        return self.total / jnp.maximum(self.count, 1.0)
+    def total(self) -> jnp.ndarray:
+        """Derived plain sum (kept for reporting/tests)."""
+        return self.mean * self.count
+
+    @property
+    def variance(self) -> jnp.ndarray:
+        return jnp.maximum(self.m2 / jnp.maximum(self.count, 1.0), 0.0)
 
     @property
     def std(self) -> jnp.ndarray:
-        m = self.mean
-        var = jnp.maximum(self.total_sq / jnp.maximum(self.count, 1.0) - m * m, 0.0)
-        return jnp.sqrt(var)
+        return jnp.sqrt(self.variance)
 
     def normalize(self, feats: jnp.ndarray, variance_normalization=True) -> jnp.ndarray:
         out = feats - self.mean
@@ -58,18 +73,41 @@ class CorpusMoments(NamedTuple):
 def local_moments(
     feats: jnp.ndarray, mask: Optional[jnp.ndarray] = None
 ) -> CorpusMoments:
-    """Masked local moments of (..., T, D) features (mask: (..., T))."""
-    s, ss, n = masked_moments(feats, mask)
-    return CorpusMoments(s, ss, n)
+    """Masked local moments of (..., T, D) features (mask: (..., T)) in the
+    stable two-pass form: mean first, then the centered sum of squares (the
+    batch is resident, so the second pass is one more fused elementwise
+    reduction, not a data re-read)."""
+    red = tuple(range(feats.ndim - 1))
+    if mask is None:
+        n = jnp.asarray(
+            jnp.prod(jnp.asarray(feats.shape[:-1])), dtype=feats.dtype
+        )
+        nz = jnp.maximum(n, 1.0)
+        m1 = jnp.sum(feats, axis=red) / nz
+        mean = m1 + jnp.sum(feats - m1, axis=red) / nz  # two-pass refinement
+        d = feats - mean
+        m2 = jnp.sum(d * d, axis=red)
+        return CorpusMoments(n, mean, m2)
+    m = mask[..., None].astype(feats.dtype)
+    n = jnp.sum(m)
+    nz = jnp.maximum(n, 1.0)
+    m1 = jnp.sum(feats * m, axis=red) / nz
+    mean = m1 + jnp.sum((feats - m1) * m, axis=red) / nz
+    d = (feats - mean) * m
+    m2 = jnp.sum(d * d, axis=red)
+    return CorpusMoments(n, mean, m2)
 
 
 def psum_moments(m: CorpusMoments, axis_names) -> CorpusMoments:
-    """All-reduce moments across mesh axes — call inside shard_map/pjit."""
-    return CorpusMoments(
-        jax.lax.psum(m.total, axis_names),
-        jax.lax.psum(m.total_sq, axis_names),
-        jax.lax.psum(m.count, axis_names),
-    )
+    """All-reduce Welford states across mesh axes — call inside
+    shard_map/pjit.  The distributed Chan combine: global count and
+    count-weighted mean by ``psum``, then each shard re-centers its M2 on the
+    global mean before the final ``psum`` (no sum-of-squares ever forms)."""
+    n = jax.lax.psum(m.count, axis_names)
+    mean = jax.lax.psum(m.mean * m.count, axis_names) / jnp.maximum(n, 1.0)
+    delta = m.mean - mean
+    m2 = jax.lax.psum(m.m2 + (delta * delta) * m.count, axis_names)
+    return CorpusMoments(n, mean, m2)
 
 
 def tree_merge(moments: Sequence[CorpusMoments]) -> CorpusMoments:

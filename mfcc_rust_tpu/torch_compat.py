@@ -123,9 +123,15 @@ __all__ += [
 
 class _Transform(torch.nn.Module):
     """Base for the nn.Module transforms: stores the keyword config, calls a
-    torch-wrapped API function in forward.  Stateless (no parameters); safe
-    under ``torch.no_grad`` dataloader workers — each call dispatches to the
-    shared jit cache keyed on the hashable config."""
+    torch-wrapped API function in forward.  Stateless (no parameters).
+
+    DataLoader workers: JAX is not fork-safe — if the parent process has
+    already run any JAX computation, fork-started workers (the Linux
+    ``num_workers>0`` default) can deadlock in the XLA runtime, and each
+    worker process compiles its own jit cache regardless of start method.
+    Use ``num_workers=0``, or a ``spawn``/``forkserver`` start method, or
+    keep these transforms out of worker processes (apply them on the main
+    process after collation)."""
 
     _fn = None  # set by subclasses
 

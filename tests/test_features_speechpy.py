@@ -167,6 +167,52 @@ class TestProcessingOps:
         with pytest.raises(ValueError):
             m.ops.cmvnw(jnp.zeros((10, 3)), 4)
 
+    def test_cmvn_paths_f32_large_mean(self):
+        """f32 robustness (VERDICT r1 #7): unit-scale features riding a +1e4
+        offset must still normalize correctly — the naive E[x^2]-m^2 and raw
+        large-mean cumsum forms lose *all* significance here."""
+        rng = np.random.default_rng(7)  # own seed: tolerance-sensitive data
+        x32 = (rng.normal(0, 1.0, (1200, 13)) + 1e4).astype(np.float32)
+        x64 = x32.astype(np.float64)  # same quantized values, exact math
+        # atol floor = ulp(1e4) ~ 1e-3: the centered values themselves are
+        # only defined to the f32 resolution of the raw 1e4-scale inputs
+        for var in [False, True]:
+            np.testing.assert_allclose(
+                np.asarray(m.ops.cmvn(jnp.asarray(x32), var)),
+                sp.cmvn(x64, var), rtol=1e-3, atol=2e-3,
+            )
+            np.testing.assert_allclose(
+                np.asarray(m.ops.cmvnw(jnp.asarray(x32), 301, var)),
+                sp.cmvnw(x64, 301, var), rtol=1e-3, atol=2e-3,
+            )
+
+    def test_corpus_moments_f32_large_mean(self):
+        """Welford corpus moments stay accurate in f32 at mean 1e4 (where
+        sum-of-squares accumulation has zero significant bits left), through
+        local computation, merging, and tree_merge."""
+        from mfcc_rust_tpu.parallel.stats import local_moments, tree_merge
+
+        rng = np.random.default_rng(7)  # own seed: tolerance-sensitive data
+        x32 = (rng.normal(0, 1.0, (4, 500, 13)) + 1e4).astype(np.float32)
+        x64 = x32.reshape(-1, 13).astype(np.float64)
+        mom = local_moments(jnp.asarray(x32))
+        np.testing.assert_allclose(np.asarray(mom.mean), x64.mean(0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mom.std), x64.std(0), rtol=1e-4)
+        # chunked accumulation must agree with the one-shot moments
+        parts = [local_moments(jnp.asarray(x32[i])) for i in range(4)]
+        merged = tree_merge(parts)
+        np.testing.assert_allclose(
+            np.asarray(merged.mean), np.asarray(mom.mean), rtol=1e-6, atol=1e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(merged.std), x64.std(0), rtol=1e-4
+        )
+        out = np.asarray(merged.normalize(jnp.asarray(x32)))
+        gold = (x64 - x64.mean(0)) / (x64.std(0) + 2.0 ** -30)
+        np.testing.assert_allclose(
+            out, gold.reshape(4, 500, 13), rtol=1e-3, atol=1e-3
+        )
+
     def test_derivative_extraction(self, rng):
         feat = rng.normal(size=(50, 13))
         np.testing.assert_allclose(

@@ -136,6 +136,35 @@ class TestStreamingFeatures:
                                 sess.process(sig[22050:])], axis=0)
         np.testing.assert_allclose(again, batch, rtol=1e-10, atol=1e-12)
 
+    def test_streaming_librosa_mel_frame_size_neq_fft(self):
+        """mel_spectrogram_librosa frames by fft_points, not frame_size — a
+        config where the two differ must be rejected up front instead of
+        silently emitting truncated frames (ADVICE r1)."""
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        bad = m.librosa_config(22050).replace(frame_length_samples=1024)
+        with pytest.raises(ValueError, match="frame_size == fft_points"):
+            StreamingFeatures(bad, feature="mel_librosa")
+        with pytest.raises(ValueError, match="frames by fft_points"):
+            F.mel_spectrogram_librosa(jnp.zeros(4096), bad)
+
+    def test_streaming_librosa_mel_short_window(self, rng):
+        """win_length < n_fft (the librosa way to get a short analysis
+        window) streams exactly batch-equal."""
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        cfg = m.librosa_config(22050, win_length=1024).replace(
+            dtype="float64", center=False
+        )
+        sig = rng.normal(0, 0.1, 44100)
+        sess = StreamingFeatures(cfg, feature="mel_librosa")
+        outs = [sess.process(sig[a:b]) for a, b in
+                [(0, 1500), (1500, 2100), (2100, 30000), (30000, 44100)]]
+        stream = np.concatenate(outs, axis=0)
+        batch = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(sig), cfg)).T
+        assert stream.shape == batch.shape
+        np.testing.assert_allclose(stream, batch, rtol=1e-10, atol=1e-12)
+
     def test_streaming_librosa_default_config_forces_uncentered(self):
         from mfcc_rust_tpu.models import StreamingFeatures
 

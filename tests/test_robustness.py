@@ -191,6 +191,32 @@ def test_runner_output_name_collisions(tmp_path, rng):
     assert not np.array_equal(a, b)  # both utterances really written
 
 
+def test_runner_output_name_uniquing_property():
+    """N colliding stems -> N distinct, deterministic names (VERDICT r1 #9):
+    the uniquing pass must stay stable across restarts and survive adversarial
+    stems that collide with the suffix scheme itself."""
+    from mfcc_rust_tpu.parallel.runner import CorpusRunner
+
+    paths = (
+        [f"d{j}/x.wav" for j in range(40)]            # 40-way stem collision
+        + ["a/x_000001.wav", "b/x_000001.wav"]        # collides with suffixes
+        + ["c/x_000001_.wav"]                          # collides with the bump
+        + [f"e/u{j}.wav" for j in range(10)]           # unique stems untouched
+    )
+
+    from mfcc_rust_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=1, n_seq=1)
+    r1 = CorpusRunner(paths, m.speechpy_config(16000), mesh)
+    r2 = CorpusRunner(paths, m.speechpy_config(16000), mesh)
+    vals = list(r1._out_names.values())
+    assert len(set(vals)) == len(paths)           # all distinct
+    assert r1._out_names == r2._out_names         # deterministic across runs
+    assert r1._out_names[0] == "x.npy"            # first occurrence keeps stem
+    for j in range(10):
+        assert r1._out_names[43 + j] == f"u{j}.npy"  # unique stems untouched
+
+
 def test_loader_stereo_native(tmp_path, rng):
     """Interleaved (mix_mono=False) multi-channel decode through the native
     prefetch loader must not overflow and must return (frames, ch)."""
