@@ -6,7 +6,9 @@ for the flagship batched MFCC pipeline (speechpy defaults: 20 ms frames /
 
 ``python bench.py --suite`` additionally benchmarks the other BASELINE.json
 configs (librosa mel spectrogram, full feature suite, ragged bucketed batch),
-one JSON line each.
+one JSON line each.  ``--corpus`` runs the end-to-end on-disk corpus workload
+(WAV decode -> prefetch -> device -> npy) and quantifies host-I/O overhead;
+``--scaling`` the mesh efficiency.
 
 The reference publishes no numbers (SURVEY §6), so ``vs_baseline`` is
 reported against the north-star target of 50,000 audio-seconds/s/chip
@@ -69,8 +71,26 @@ def suite():
     rng = np.random.default_rng(0)
 
     # config 2: librosa mel spectrogram 2048/512, 128 mels, 22.05 kHz
+    # (rides the fused Pallas CT kernel on TPU via cfg.pallas="auto")
     lcfg = librosa_config(22050)
     b2, t2 = 32, 220500  # 32 x 10 s
+
+    # on-chip A/B numerics gate: kernel vs the XLA CT path (<= 1e-3 rel)
+    from mfcc_rust_tpu.features import _librosa_pallas_ok
+
+    if _librosa_pallas_ok(lcfg):
+        sig = jnp.asarray(rng.normal(0, 0.1, (2, 66150)).astype(np.float32))
+        ref = np.asarray(
+            features.mel_spectrogram_librosa(sig, lcfg.replace(pallas="off"))
+        )
+        out = np.asarray(features.mel_spectrogram_librosa(sig, lcfg))
+        err = float((np.abs(out - ref) / (np.abs(ref) + 1e-8)).max())
+        print(json.dumps({
+            "metric": "pallas CT mel A/B max rel err vs XLA CT (gate 1e-3)",
+            "value": err, "unit": "rel", "vs_baseline": round(err / 1e-3, 6),
+        }))
+        assert err <= 1e-3, "fused CT mel kernel failed the A/B numerics gate"
+
     _emit(
         "audio_seconds_per_sec_per_chip (librosa mel 2048/512/128)",
         _slope_timer(
@@ -81,6 +101,19 @@ def suite():
             b2 * 10.0,
         ),
     )
+    if _librosa_pallas_ok(lcfg):
+        _emit(
+            "audio_seconds_per_sec_per_chip (librosa mel, XLA path: pallas=off)",
+            _slope_timer(
+                lambda x: features.mel_spectrogram_librosa(
+                    x, lcfg.replace(pallas="off")
+                ).sum(),
+                lambda k: jnp.asarray(
+                    rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
+                ),
+                b2 * 10.0,
+            ),
+        )
 
     # reference-parity vorbis mel spectrogram (feature.rs:151-174)
     from mfcc_rust_tpu import vorbis_config
@@ -239,54 +272,146 @@ def main():
     )
 
 
-def scaling():
-    """Data-parallel scaling over the available device mesh: audio-s/s at 1
-    device vs all devices and the efficiency ratio.  On a 1-chip host this
-    degenerates to a single line; on a pod slice it is the BASELINE config-5
-    scaling-efficiency measurement.  NOTE: on a virtual CPU mesh
-    (xla_force_host_platform_device_count) the "devices" timeshare the same
-    cores, so the efficiency ratio is only meaningful on real chips."""
-    import jax
-    import jax.numpy as jnp
+def corpus(n_files: int = 192, seed: int = 0):
+    """BASELINE config-4/5 end-to-end corpus extraction: synthesize a ragged
+    on-disk WAV corpus (~LibriSpeech dev-clean length profile: lognormal
+    around ~6 s, clipped to 1-35 s), run CorpusRunner — C++ decode, threaded
+    prefetch, length bucketing, device extraction, idempotent .npy writes,
+    corpus CMVN moments — and report ONE JSON line of audio-s/s *including*
+    all host I/O, plus the device-scope throughput so the host-overhead gap
+    vs the synthetic headline is quantified.
+
+    Two passes over the same corpus shapes: pass 1 warms the jit cache (the
+    bucket set would otherwise bill one ~30 s TPU compile per bucket to the
+    measurement), pass 2 is timed from a cold output dir."""
+    import shutil
+    import tempfile
 
     from mfcc_rust_tpu import FeatureConfig
+    from mfcc_rust_tpu.parallel import make_mesh
+    from mfcc_rust_tpu.parallel.runner import CorpusRunner
+    from mfcc_rust_tpu.runtime import write_wav
+
+    rng = np.random.default_rng(seed)
+    secs = np.clip(rng.lognormal(np.log(6.0), 0.6, n_files), 1.0, 35.0)
+    cfg = FeatureConfig(sample_rate=16000)
+    mesh = make_mesh(n_seq=1)
+    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        paths = []
+        total_audio = 0.0
+        for i, s in enumerate(secs):
+            clip = rng.normal(0, 0.1, int(s * 16000)).astype(np.float32)
+            np.clip(clip, -1.0, 1.0, out=clip)
+            p = f"{tmp}/utt{i:05d}.wav"
+            write_wav(p, clip, 16000)
+            paths.append(p)
+            total_audio += len(clip) / 16000.0
+
+        def run(out_dir):
+            # large batches amortize the fixed per-step round-trip latency
+            # of a remote-attached chip (measured ~100-200 ms per transfer)
+            r = CorpusRunner(paths, cfg, mesh, batch_size=128,
+                             out_dir=out_dir, n_io_threads=8)
+            t0 = time.perf_counter()
+            r.run()
+            return time.perf_counter() - t0, r.meter
+
+        run(f"{tmp}/warm")  # compile all buckets
+        shutil.rmtree(f"{tmp}/warm")
+        wall, meter = run(f"{tmp}/out")
+        _emit(
+            "audio_seconds_per_sec_per_chip (corpus end-to-end: decode+"
+            "prefetch+extract+npy)",
+            total_audio / wall,
+        )
+        print(json.dumps({
+            "metric": "corpus device-scope audio_s/s (extraction_step incl. H2D/D2H)",
+            "value": round(meter.throughput, 1), "unit": "audio-s/s/chip",
+            "vs_baseline": round(meter.throughput / TARGET, 4),
+        }))
+        print(json.dumps({
+            "metric": "corpus host-overhead fraction (1 - device_scope_wall/total_wall)",
+            "value": round(1.0 - meter.wall_seconds / wall, 4), "unit": "ratio",
+            "vs_baseline": 0.0,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def scaling():
+    """Data-parallel scaling over the available device mesh: audio-s/s at 1
+    device vs all devices and the efficiency ratio, plus the sequence-axis
+    halo-overhead sweep (n_seq 1/2/4 at all devices) and the seq-sharded
+    vorbis melspec path.  On a 1-chip host this degenerates to single lines;
+    on a pod slice it is the BASELINE config-5 scaling-efficiency
+    measurement.  NOTE: on a virtual CPU mesh
+    (xla_force_host_platform_device_count) the "devices" timeshare the same
+    cores, so ratios validate the harness/halo wiring, not real ICI cost."""
+    import jax
+
+    from mfcc_rust_tpu import FeatureConfig, vorbis_config
     from mfcc_rust_tpu.parallel import extraction_step, make_mesh
 
     cfg = FeatureConfig(sample_rate=16000)
     n_dev = len(jax.devices())
     rng = np.random.default_rng(0)
 
-    def run(devices):
+    def run(devices, n_seq=1, feature="mfcc", run_cfg=None):
         n = len(devices)
-        mesh = make_mesh(n_data=n, n_seq=1, devices=devices)
-        b, t = 16 * n, 160000
+        run_cfg = cfg if run_cfg is None else run_cfg
+        mesh = make_mesh(n_data=n // n_seq, n_seq=n_seq, devices=devices)
+        hop = run_cfg.stream_hop if feature == "melspec" else run_cfg.frame_step
+        b = 16 * (n // n_seq)
+        t = (160000 // (n_seq * hop)) * (n_seq * hop)
         sig = rng.normal(0, 0.1, (b, t)).astype(np.float32)
         lens = np.full(b, t, np.int64)
-        out = extraction_step(sig, lens, cfg, mesh)
+        out = extraction_step(sig, lens, run_cfg, mesh, feature)
         jax.block_until_ready(out)
         best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
-            out = extraction_step(sig, lens, cfg, mesh)
+            out = extraction_step(sig, lens, run_cfg, mesh, feature)
             float(out[2].count)  # host read as completion barrier
             best = min(best, time.perf_counter() - t0)
-        return b * 10.0 / best
+        return b * (t / run_cfg.sample_rate) / best
+
+    def emit(metric, value, target=TARGET):
+        print(json.dumps({"metric": metric, "value": round(value, 4),
+                          "unit": "audio-s/s" if target else "ratio",
+                          "vs_baseline": round(value / (target or 1.0), 4)}))
 
     one = run(jax.devices()[:1])
-    print(json.dumps({"metric": "scaling: audio_s_per_sec @1dev", "value": round(one, 1),
-                      "unit": "audio-s/s", "vs_baseline": round(one / TARGET, 4)}))
+    emit("scaling: audio_s_per_sec @1dev", one)
     if n_dev > 1:
         alln = run(jax.devices())
         eff = alln / (one * n_dev)
-        print(json.dumps({"metric": f"scaling: audio_s_per_sec @{n_dev}dev", "value": round(alln, 1),
-                          "unit": "audio-s/s", "vs_baseline": round(alln / TARGET, 4)}))
-        print(json.dumps({"metric": f"scaling efficiency @{n_dev}dev", "value": round(eff, 4),
-                          "unit": "ratio", "vs_baseline": round(eff / 0.9, 4)}))
+        emit(f"scaling: audio_s_per_sec @{n_dev}dev", alln)
+        emit(f"scaling efficiency @{n_dev}dev (target 0.9)", eff / 0.9, None)
+        # sequence-axis halo overhead: same device count, time axis sharded
+        # 2/4-way — the ppermute halo of frame_len - hop samples is the only
+        # extra work vs the pure-data mesh
+        base = alln
+        for n_seq in (2, 4):
+            if n_dev % n_seq:
+                continue
+            v = run(jax.devices(), n_seq=n_seq)
+            emit(f"scaling: audio_s_per_sec @{n_dev}dev n_seq={n_seq}", v)
+            emit(f"seq-halo relative throughput n_seq={n_seq} (1.0 = free halo)",
+                 v / base, None)
+        # vorbis melspec on the seq mesh (reference mel_spectrogram family)
+        vcfg = vorbis_config(16000)
+        v = run(jax.devices(), n_seq=min(2, n_dev), feature="melspec",
+                run_cfg=vcfg)
+        emit(f"scaling: vorbis melspec audio_s_per_sec @{n_dev}dev n_seq=2", v)
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+        sys.exit(0)
+    if "--corpus" in sys.argv:
+        corpus()
         sys.exit(0)
     main()
     if "--suite" in sys.argv:

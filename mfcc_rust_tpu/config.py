@@ -66,6 +66,12 @@ class FeatureConfig:
     # golden-parity default), "high" = 3-pass (~1e-4 rel, ~1.25x faster),
     # "default" = bf16 multiplies (~1e-2 rel, fastest).
     precision: str = "highest"
+    # Fused Pallas kernel dispatch for the librosa CT mel path:
+    # "auto" = use the kernel on the TPU backend when the config qualifies
+    # (ops/pallas/ct_mel.py; ~2.3x the XLA CT path, numerics ~1e-6 rel),
+    # "off" = always the XLA lowering, "force" = kernel everywhere
+    # (interpret mode off-TPU — for tests/debug).
+    pallas: str = "auto"
     dtype: str = "float32"
 
     # -------------------------------------------------- derived quantities --

@@ -308,6 +308,8 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
             f"cfg.frame_size={cfg.frame_size}; build the config with "
             "librosa_config() (use win_length for short analysis windows)"
         )
+    if _librosa_pallas_ok(cfg):
+        return _mel_librosa_pallas(signal, cfg)
     if _librosa_ct_ok(cfg):
         return _librosa_ct_mel(signal, cfg)
     if _fast_path_ok(cfg) and cfg.frame_size == n:
@@ -336,6 +338,45 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
             return jnp.swapaxes(mel, -1, -2)
     power = _stft.stft_framed(signal, cfg, framing_style="librosa", return_power=True)
     return mel_project_time_major(power, cfg)
+
+
+def _librosa_pallas_ok(cfg: FeatureConfig) -> bool:
+    """Dispatch the fused Pallas CT mel kernel (ops/pallas/ct_mel.py):
+    qualifying config + "auto" on the TPU backend (or "force" anywhere —
+    interpret mode off-TPU, for tests)."""
+    if cfg.pallas == "off" or cfg.dtype != "float32":  # kernel is f32-only
+        return False
+    from .ops.pallas.ct_mel import pallas_ct_supported
+    from .ops.spectrum import resolve_fft_impl
+
+    if resolve_fft_impl(cfg) != "ct" or not pallas_ct_supported(cfg):
+        return False
+    return cfg.pallas == "force" or jax.default_backend() == "tpu"
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _mel_librosa_pallas(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """Kernel forward with an XLA backward: pallas_call has no autodiff
+    rule, so the VJP recomputes through the (mathematically identical) XLA
+    CT lowering — keeping the pipeline differentiable end to end."""
+    from .ops.pallas.ct_mel import ct_mel_pallas
+
+    return jnp.swapaxes(ct_mel_pallas(signal, cfg), -1, -2)
+
+
+def _mel_librosa_pallas_fwd(signal, cfg):
+    return _mel_librosa_pallas(signal, cfg), signal
+
+
+def _mel_librosa_pallas_bwd(cfg, signal, g):
+    _, vjp = jax.vjp(lambda s: _librosa_ct_mel(s, cfg), signal)
+    return vjp(g)
+
+
+_mel_librosa_pallas.defvjp(_mel_librosa_pallas_fwd, _mel_librosa_pallas_bwd)
 
 
 def _librosa_ct_ok(cfg: FeatureConfig) -> bool:

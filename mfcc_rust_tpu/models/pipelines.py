@@ -149,6 +149,15 @@ class StreamingFeatures:
                 "pre-emphasize the signal before streaming instead"
             )
         self.feature = feature
+        # incremental carried chunk-GEMM frontend: every chunk is multiplied
+        # against the DFT wall exactly once (vs r times in the recompute
+        # fallback) and partial frame sums carry across calls
+        from .incremental import IncrementalFrontend, incremental_supported
+
+        self._inc = (
+            IncrementalFrontend(self.cfg, feature)
+            if incremental_supported(self.cfg, feature) else None
+        )
         if feature == "mel_librosa":
             self._fn = jax.jit(
                 lambda s: jnp.swapaxes(
@@ -163,6 +172,8 @@ class StreamingFeatures:
         self._buf = np.zeros(0, dtype=self.cfg.dtype)
         self._seen = 0
         self._emitted = 0
+        if self._inc is not None:
+            self._inc.reset()
 
     def _frame_len(self) -> int:
         # mel_librosa frames by n_fft (librosa pads win_length<n_fft windows
@@ -184,6 +195,8 @@ class StreamingFeatures:
         """Feed samples; returns the newly completed frames (possibly
         zero-length)."""
         chunk = np.asarray(chunk, dtype=self.cfg.dtype)
+        if self._inc is not None:
+            return self._process_incremental(chunk)
         self._buf = np.concatenate([self._buf, chunk])
         self._seen += len(chunk)
         ready = self._frames_ready(self._seen)
@@ -209,6 +222,29 @@ class StreamingFeatures:
         if self.feature == "mfe":
             return np.asarray(out[0])[:n_new], np.asarray(out[1])[:n_new]
         return np.asarray(out)[:n_new]
+
+    def _process_incremental(self, chunk: np.ndarray):
+        """Carried-state path: feed always advances the frontend; the rows
+        it emits end exactly at the current ready count, so the new frames
+        are the trailing ``ready - emitted`` rows (leading rows are warm-up
+        for negative frame indices and already-emitted lag frames)."""
+        self._seen += len(chunk)
+        outs = self._inc.feed(chunk)
+        ready = self._frames_ready(self._seen)
+        n_new = ready - self._emitted
+        self._emitted = ready
+        d = self.cfg.num_cepstral if self.feature == "mfcc" else self.cfg.num_filters
+        dt = self.cfg.dtype
+        if self.feature == "mfe":
+            if n_new <= 0:
+                return np.zeros((0, d), dt), np.zeros(0, dt)
+            mel = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+            en = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
+            return mel[len(mel) - n_new :], en[len(en) - n_new :]
+        if n_new <= 0:
+            return np.zeros((0, d), dt)
+        rows = np.concatenate([np.asarray(o) for o in outs], axis=0)
+        return rows[len(rows) - n_new :]
 
 
 class StreamingExtractor:

@@ -1,0 +1,290 @@
+"""Fused Pallas Cooley-Tukey mel-spectrogram kernel (librosa family).
+
+The XLA CT path (features._librosa_ct_mel) is FLOPs-efficient but
+HBM-bound: exp/ct_breakdown.py measured 65% of its runtime in frame
+materialization (4x signal bytes), the window multiply, and the per-frame
+(32, 16)@(16, 128) stage-1 GEMM — all round-tripping HBM between stages,
+while the stage-2 GEMMs + mel projection alone run ~2.8x faster than the
+whole pipeline.  This kernel keeps the entire per-tile pipeline in VMEM:
+
+    hop-chunked signal row (VMEM-resident per batch element)
+      -> r shifted chunk slices                (lane-aligned static slices)
+      -> stage 1 + window fused as VPU FMAs    (ir/ii per CT residue r2;
+         the window folds into the stage-1 weights so it costs nothing)
+      -> twiddle-folded stage-2 GEMMs          (MXU: per-r2 (N1, 2*k1max))
+      -> |X|^2 -> mel projection               (MXU: per-r2 dup-weight GEMM,
+         rows k1 and k1max+k1 both carry fb[m, bin(r2, k1)] so no unaligned
+         slicing of the packed [re | im] stage-2 output is ever needed)
+      -> (TILE_F, n_mels) tile out
+
+HBM traffic is exactly one signal read + one mel write: the chunk row's
+BlockSpec index map is constant in the frame-tile grid axis, so Pallas
+DMA's each batch row once and every tile iterates over it in VMEM.
+
+Replaces the realfft plan machinery of the reference
+(/root/reference/speechsauce/src/config.rs:161) for the librosa mel family;
+same math as ops/fft.py's ct_power_project (shared constant builders, so
+the two lowerings cannot desynchronize).
+
+Numerics: all dots run at Mosaic HIGHEST precision (~3-pass f32, ~1e-4 rel
+vs the 6-pass XLA default — interpret mode is bit-closer); the stage-1 VPU
+FMAs are exact f32.  Gate on-TPU with exp/pallas_ct_ab.py (<=1e-3 rel vs
+the XLA CT path).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import FeatureConfig
+from ...constants import constant_bundle
+
+
+def pallas_ct_supported(cfg: FeatureConfig) -> bool:
+    """Same algebra as features._librosa_ct_ok plus the chunk-row layout
+    conditions (hop must split into whole N1 lanes)."""
+    from ..fft import good_factorization
+
+    if cfg.frame_size != cfg.fft_points or cfg.power != 2.0:
+        return False
+    f = good_factorization(cfg.fft_points)
+    if f is None:
+        return False
+    n1, n2 = f
+    hop = cfg.frame_step
+    return (
+        cfg.fft_points % hop == 0
+        and hop % n1 == 0
+        and n1 % 128 == 0  # stage-2 contraction fills MXU lanes exactly
+        and n2 % 2 == 0  # the Hermitian-paired stage 1 assumes even N2
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _ct_mel_constants(cfg: FeatureConfig):
+    """Numpy constants (float64 precompute, cast to f32):
+
+    - win (N2, N1): analysis window reshaped onto the CT plane
+      (frame sample n = n1 + N1*n2).
+    - c1w/s1w: the stage-1 N2-point real-DFT weights, exploiting Hermitian
+      symmetry of the real input (ir[N2-r] = ir[r], ii[N2-r] = -ii[r]) and
+      cos/sin q-symmetry on pre-added pairs u_q = xw_q + xw_{N2-q},
+      v_q = xw_q - xw_{N2-q}:
+        ir[r] = c[r,0]*xw0 + c[r,h]*xwh + sum_{q=1..h-1} c[r,q]*u_q
+        ii[r] =                            sum_{q=1..h-1} s[r,q]*v_q
+      with h = N2/2, computed only for r = 0..h (ii[0] = ii[h] = 0).
+      ~7x fewer VPU FMAs than the naive N2 x N2 double loop.
+    - a/b (N2, N1, 2*k1max): twiddle-folded stage-2 matrices
+      (ops.fft._ct_foldtw_matrices — the shared source of truth); residues
+      above N2/2 reuse ir/ii via o[N2-r] = ir[r] @ a[N2-r] - ii[r] @ b[N2-r].
+    - proj (N2, 2*k1max, M): per-r2 mel projection, filterbank weights
+      duplicated over the re/im halves of the squared stage-2 output
+      (sum of squares = power) so no sub-lane-width slicing is needed.
+    """
+    from ..fft import (
+        _ct_foldtw_matrices,
+        _ct_constants,
+        good_factorization,
+        permute_weights_for_ct,
+    )
+
+    n = cfg.fft_points
+    n1, n2 = good_factorization(n)
+    bundle = constant_bundle(cfg)
+    fbp = permute_weights_for_ct(bundle["fbank"], n, (n1, n2))  # (M, n2*k1max)
+    k1max = fbp.shape[1] // n2
+    mels = fbp.shape[0]
+
+    c2, s2, _, _, _, _ = _ct_constants(n, n1, n2)  # s2 = -sin
+    win = bundle["window"].reshape(n2, n1)
+
+    a, b = _ct_foldtw_matrices(n, n1, n2, k1max)  # (n2, n1, 2*k1max)
+
+    def dup(r2):
+        """Mel projection for residue r2 with the filterbank columns
+        duplicated over the re/im halves of the squared stage-2 output."""
+        cols = fbp[:, r2 * k1max : (r2 + 1) * k1max].T  # (k1max, M)
+        return np.concatenate([cols, cols], axis=0)  # (2*k1max, M)
+
+    # MXU fill latency dominates at (tile_f, 128)@(128, 128) sizes, so the
+    # Hermitian pair (r2, N2-r2) — which shares its stage-1 inputs — merges
+    # into ONE (2*N1, 4*k1max) stage-2 GEMM and ONE (4*k1max, M) projection
+    # GEMM:  [ir | ii] @ [[A_r, A_r'], [B_r, -B_r']] = [o_r | o_r'].
+    h = n2 // 2
+    ab_pairs = np.stack([
+        np.block([[a[r2], a[n2 - r2]], [b[r2], -b[n2 - r2]]])
+        for r2 in range(1, h)
+    ]) if h > 1 else np.zeros((0, 2 * n1, 4 * k1max))
+    proj_pairs = np.stack([
+        np.concatenate([dup(r2), dup(n2 - r2)], axis=0) for r2 in range(1, h)
+    ]) if h > 1 else np.zeros((0, 4 * k1max, mels))
+    # residues 0 and h have ii == 0: stage 2 is a single A GEMM each
+    a_single = np.stack([a[0], a[h]])
+    proj_single = np.stack([dup(0), dup(h)])
+
+    def snap(w):
+        """Roots-of-unity weights as exact scalars: 0 / +-1 multiplies
+        specialize to skips / plain adds in the kernel unroll."""
+        w = np.asarray(w, np.float64).copy()
+        w[np.abs(w) < 1e-12] = 0.0
+        w[np.abs(w - 1.0) < 1e-12] = 1.0
+        w[np.abs(w + 1.0) < 1e-12] = -1.0
+        return tuple(tuple(float(x) for x in row) for row in w)
+
+    f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)
+    return (f32(win), snap(c2), snap(s2), f32(ab_pairs), f32(a_single),
+            f32(proj_pairs), f32(proj_single), n1, n2, k1max, mels)
+
+
+def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, out_ref, *,
+            tile_f, r, rows, n1, n2, k1max, mels, precision, c2, s2):
+    """c2/s2 (the tiny N2 x N2 stage-1 weight tables) are baked in as Python
+    floats — each multiplies a whole (tile_f, N1) array, so they lower to
+    scalar-broadcast VPU FMAs with no constant traffic at all."""
+    i = pl.program_id(1)
+    base = pl.multiple_of(i * tile_f, tile_f)
+    # one sublane-aligned slab load (dynamic starts must be provably
+    # 8-aligned for Mosaic), then r shifted views as *static* sub-slices;
+    # frame f (tile-local) spans chunks base+f .. base+f+r-1, i.e. view s
+    # supplies CT rows n2 = s*rows + q
+    pad_r = -(-(r - 1) // 8) * 8
+    slab = ch_ref[0, pl.ds(base, tile_f + pad_r), :]
+    xs = [slab[s : s + tile_f, :] for s in range(r)]
+
+    # window (the only per-q full-vector multiply)
+    xw = []
+    for q in range(n2):
+        x = xs[q // rows][:, (q % rows) * n1 : (q % rows + 1) * n1]
+        xw.append(x * win_ref[q, :][None, :])
+
+    # Hermitian-paired stage 1 (see _ct_mel_constants): pre-add q-pairs,
+    # then short FMA chains with 0 / +-1 weights specialized away
+    def fma(acc, x, w):
+        if w == 0.0:
+            return acc
+        term = x if w == 1.0 else (-x if w == -1.0 else x * w)
+        return term if acc is None else acc + term
+
+    h = n2 // 2
+    u = [xw[q] + xw[n2 - q] for q in range(1, h)]
+    v = [xw[q] - xw[n2 - q] for q in range(1, h)]
+    irs, iis = [], []
+    for r2 in range(h + 1):
+        ir = fma(fma(None, xw[0], c2[r2][0]), xw[h], c2[r2][h])
+        ii = None
+        for q in range(1, h):
+            ir = fma(ir, u[q - 1], c2[r2][q])
+            ii = fma(ii, v[q - 1], s2[r2][q])
+        irs.append(ir)
+        iis.append(ii)  # None for r2 in {0, h} (all sin weights are 0)
+
+    # stage 2 (twiddle folded, Hermitian pairs merged) + |X|^2 + mel
+    # projection — 2*(h+1) MXU GEMMs total (see _ct_mel_constants)
+    def dot(x, w):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                       precision=precision)
+
+    mel = None
+    for idx, r2 in enumerate((0, h)):  # ii == 0 singles
+        o = dot(irs[r2], as_ref[idx])
+        part = dot(o * o, ps_ref[idx])
+        mel = part if mel is None else mel + part
+    for j, rr in enumerate(range(1, h)):  # merged (rr, n2-rr) pairs
+        z = jnp.concatenate([irs[rr], iis[rr]], axis=1)  # (tile_f, 2*n1)
+        o = dot(z, abp_ref[j])  # [o_rr | o_{n2-rr}], (tile_f, 4*k1max)
+        mel = mel + dot(o * o, pp_ref[j])
+    out_ref[0] = mel
+
+
+def ct_mel_pallas(
+    signal: jnp.ndarray,
+    cfg: FeatureConfig,
+    tile_f: int = 128,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """librosa mel spectrogram via the fused CT kernel:
+    (..., T) -> (..., frames, n_mels) — NOTE frame-major (the caller swaps to
+    librosa's mel-major layout; feature heads want frame-major anyway).
+
+    Semantics identical to features._librosa_ct_mel (center padding included
+    here); bit-compatibility is fuzz-gated in tests/test_pallas.py and
+    on-TPU by exp/pallas_ct_ab.py.
+    """
+    if not pallas_ct_supported(cfg):
+        raise ValueError("config not supported by the fused CT kernel")
+    if signal.ndim == 1:
+        return ct_mel_pallas(signal[None], cfg, tile_f, interpret)[0]
+    if signal.ndim > 2:
+        lead = signal.shape[:-1]
+        out = ct_mel_pallas(
+            signal.reshape((-1, signal.shape[-1])), cfg, tile_f, interpret
+        )
+        return out.reshape(lead + out.shape[1:])
+
+    (win, c2, s2, ab_pairs, a_single, proj_pairs, proj_single,
+     n1, n2, k1max, mels) = _ct_mel_constants(cfg)
+    n = cfg.fft_points
+    hop = cfg.frame_step
+    r = n // hop
+    rows = hop // n1
+    signal = jnp.asarray(signal, jnp.float32)
+
+    if cfg.center:
+        pad = [(0, 0), (n // 2, n // 2)]
+        signal = jnp.pad(signal, pad, mode=cfg.pad_mode)
+    bsz, t = signal.shape
+    count = 1 + (t - n) // hop
+    if count <= 0:
+        return jnp.zeros((bsz, 0, mels), jnp.float32)
+
+    n_blocks = pl.cdiv(count, tile_f)
+    n_frames_pad = n_blocks * tile_f
+    # slab loads read tile_f + round_up(r-1, 8) chunk rows past each base
+    n_chunks = n_frames_pad + (-(-(r - 1) // 8) * 8)
+    need = n_chunks * hop
+    if need > t:
+        signal = jnp.pad(signal, [(0, 0), (0, need - t)])
+    chunks = signal[:, :need].reshape(bsz, n_chunks, hop)
+
+    kern = functools.partial(
+        _kernel, tile_f=tile_f, r=r, rows=rows, n1=n1, n2=n2, k1max=k1max,
+        mels=mels, c2=c2, s2=s2,
+        precision=(jax.lax.Precision.DEFAULT if cfg.precision == "default"
+                   else jax.lax.Precision.HIGHEST),
+    )
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda bb, ii: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz, n_blocks),
+        in_specs=[
+            # whole chunk row per batch element; constant in the tile axis,
+            # so Pallas DMA's it once per row and tiles iterate in VMEM
+            pl.BlockSpec((1, n_chunks, hop), lambda bb, ii: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(win.shape),
+            const(ab_pairs.shape),
+            const(a_single.shape),
+            const(proj_pairs.shape),
+            const(proj_single.shape),
+        ],
+        out_specs=pl.BlockSpec((1, tile_f, mels), lambda bb, ii: (bb, ii, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_frames_pad, mels), jnp.float32),
+        interpret=(jax.default_backend() != "tpu"
+                   if interpret is None else interpret),
+    )(
+        chunks,
+        jnp.asarray(win),
+        jnp.asarray(ab_pairs), jnp.asarray(a_single),
+        jnp.asarray(proj_pairs), jnp.asarray(proj_single),
+    )
+    return out[:, :count]

@@ -68,11 +68,13 @@ class CheckpointStore:
 
     @staticmethod
     def _read_moments(z, suffix: str = "") -> CorpusMoments:
+        # plain numpy: host-side moment accumulation must not touch the
+        # device (CorpusMoments ops are namespace-agnostic)
         if "mean" + suffix in getattr(z, "files", z):
             return CorpusMoments(
-                jax.numpy.asarray(z["count" + suffix]),
-                jax.numpy.asarray(z["mean" + suffix]),
-                jax.numpy.asarray(z["m2" + suffix]),
+                np.asarray(z["count" + suffix]),
+                np.asarray(z["mean" + suffix]),
+                np.asarray(z["m2" + suffix]),
             )
         # legacy (sum, sum_sq, count) checkpoint: convert to Welford form
         # (loses the old form's cancellation error, nothing else)
@@ -82,9 +84,9 @@ class CheckpointStore:
         mean = total / max(count, 1.0)
         m2 = np.maximum(total_sq - total * mean, 0.0)
         return CorpusMoments(
-            jax.numpy.asarray(np.float32(count)),
-            jax.numpy.asarray(mean.astype(np.float32)),
-            jax.numpy.asarray(m2.astype(np.float32)),
+            np.float32(count),
+            mean.astype(np.float32),
+            m2.astype(np.float32),
         )
 
     def _load(self) -> None:
@@ -293,7 +295,11 @@ class CorpusRunner:
 
             ids = [todo[j] for j, _ in batch]
             b = len(batch)
-            b_pad = ((b + n_data - 1) // n_data) * n_data
+            # partial tail batches round up to a power of two (then to the
+            # data axis): a handful of compiled batch shapes instead of one
+            # per remainder size; padded rows carry length 0 -> fully masked
+            b_pad = b if b >= self.batch_size else 1 << (b - 1).bit_length()
+            b_pad = ((b_pad + n_data - 1) // n_data) * n_data
             src_lengths = np.array([len(s) for _, s in batch], dtype=np.int64)
             if src_rate == self.cfg.sample_rate:
                 lengths = src_lengths
@@ -324,17 +330,20 @@ class CorpusRunner:
             lens[:b] = lengths
             audio_sec = float(lengths.sum()) / self.cfg.sample_rate
             with self.meter.measure(audio_sec):
-                feats, mask, batch_moments = extraction_step(
+                from .data import fetch_outputs
+
+                out = extraction_step(
                     sig, lens, self.cfg, self.mesh, self.feature
                 )
+                # one packed device->host transfer for the whole output
+                # pytree: per-fetch round-trip latency, not bandwidth, is
+                # the bottleneck on remote-attached chips
+                feats, mask, batch_moments = fetch_outputs(out)
                 if self.multi:
                     feats = {
-                        k: np.asarray(v[0] if k == "mfe" else v)
+                        k: (v[0] if k == "mfe" else v)
                         for k, v in feats.items()
                     }
-                else:
-                    feats = np.asarray(feats)
-                mask = np.asarray(mask)
             if self.multi:
                 moments = {
                     k: moments[k].merge(batch_moments[k]) for k in moments
@@ -396,12 +405,16 @@ class CorpusRunner:
                 if self.store is not None:
                     self.store.done[todo[j]] = True
                 continue
-            pool = pending.setdefault(sr, [])
+            # pools key on (rate, length bucket): batches are same-bucket, so
+            # a 1 s clip never pads to a 35 s neighbor (padding waste bounded
+            # by the bucket grid's ~25%) and compiled shapes stay few
+            key = (sr, bucket_length(len(samples)))
+            pool = pending.setdefault(key, [])
             pool.append((j, samples))
             if len(pool) >= self.batch_size:
                 flush(pool, sr)
-                pending[sr] = []
-        for sr, pool in pending.items():
+                pending[key] = []
+        for (sr, _), pool in pending.items():
             if pool:
                 flush(pool, sr)
         if self.store is not None:

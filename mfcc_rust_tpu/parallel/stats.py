@@ -28,23 +28,33 @@ from ..ops.normalize import EPS
 
 class CorpusMoments(NamedTuple):
     """Running Welford/Chan state over feature dimension D:
-    ``count`` (scalar), ``mean`` (D,), ``m2 = sum((x - mean)^2)`` (D,)."""
+    ``count`` (scalar), ``mean`` (D,), ``m2 = sum((x - mean)^2)`` (D,).
+
+    Array-namespace agnostic by design: ``merge``/``total``/``variance``/
+    ``std`` use only operators, so numpy states stay numpy — on a
+    remote-attached TPU a host-side accumulation loop written with jnp ops
+    would pay a device round trip per batch (see
+    ``parallel.data.fetch_outputs``), and they remain fully traceable under
+    jit for the device-side paths."""
 
     count: jnp.ndarray  # scalar
     mean: jnp.ndarray  # (D,)
     m2: jnp.ndarray  # (D,)
 
     @classmethod
-    def zeros(cls, dim: int, dtype=jnp.float32) -> "CorpusMoments":
+    def zeros(cls, dim: int, dtype=None) -> "CorpusMoments":
+        import numpy as np
+
+        dtype = np.float32 if dtype is None else dtype
         return cls(
-            jnp.zeros((), dtype), jnp.zeros(dim, dtype), jnp.zeros(dim, dtype)
+            np.zeros((), dtype), np.zeros(dim, dtype), np.zeros(dim, dtype)
         )
 
     def merge(self, other: "CorpusMoments") -> "CorpusMoments":
         """Chan's parallel combine: stable for any mean magnitude, exact for
         empty operands."""
         n = self.count + other.count
-        w = other.count / jnp.maximum(n, 1.0)
+        w = other.count / (n + (n == 0))  # == other.count / max(n, 1)
         delta = other.mean - self.mean
         mean = self.mean + delta * w
         m2 = self.m2 + other.m2 + (delta * delta) * (self.count * w)
@@ -57,11 +67,13 @@ class CorpusMoments(NamedTuple):
 
     @property
     def variance(self) -> jnp.ndarray:
-        return jnp.maximum(self.m2 / jnp.maximum(self.count, 1.0), 0.0)
+        n = self.count
+        v = self.m2 / (n + (n == 0))
+        return v * (v > 0)  # clip stray negative rounding residue
 
     @property
     def std(self) -> jnp.ndarray:
-        return jnp.sqrt(self.variance)
+        return self.variance ** 0.5
 
     def normalize(self, feats: jnp.ndarray, variance_normalization=True) -> jnp.ndarray:
         out = feats - self.mean

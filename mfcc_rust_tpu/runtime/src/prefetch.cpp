@@ -70,8 +70,15 @@ struct Loader {
       int effective_mix = mix_mono || prc != 0;
       uint32_t ch = (!effective_mix && info.channels > 0) ? info.channels : 1;
       it.channels = ch;
-      it.data.resize((size_t)max_frames * ch);
-      it.frames = wav_read_f32(paths[i].c_str(), it.data.data(), max_frames,
+      // size the buffer from the probed frame count: resizing to max_frames
+      // zero-fills max_seconds*48kHz floats (~46 MB) per item — measured as
+      // a fixed ~12 ms/utterance that capped the whole corpus pipeline at
+      // ~550 audio-s/s no matter how fast decode and the device were
+      uint32_t want = max_frames;
+      if (prc == 0 && info.frames > 0 && info.frames < max_frames)
+        want = info.frames;
+      it.data.resize((size_t)want * ch);
+      it.frames = wav_read_f32(paths[i].c_str(), it.data.data(), want,
                                effective_mix ? 1 : 0);
       if (it.frames > 0) it.data.resize((size_t)it.frames * ch);
       std::unique_lock<std::mutex> lk(mu);

@@ -59,3 +59,95 @@ def test_fused_tile_sizes(rng):
 def test_fused_rejects_unsupported():
     with pytest.raises(ValueError):
         fused_mfcc(jnp.zeros(8000), m.vorbis_config(16000))
+
+
+# ------------------------------------------------ fused CT mel (librosa) ----
+class TestCTMelKernel:
+    LCFG = m.librosa_config(22050)
+
+    def test_supported_matrix(self):
+        from mfcc_rust_tpu.ops.pallas.ct_mel import pallas_ct_supported
+
+        assert pallas_ct_supported(self.LCFG)  # 2048 = 128*16, hop 512
+        assert pallas_ct_supported(m.librosa_config(16000, n_fft=1024,
+                                                    hop_length=256))
+        # hop not a multiple of N1
+        assert not pallas_ct_supported(
+            m.librosa_config(22050, hop_length=100))
+        # frame_size != n_fft (speechpy framing)
+        assert not pallas_ct_supported(m.speechpy_config(16000))
+
+    def test_matches_xla_ct(self, rng):
+        from mfcc_rust_tpu.ops.pallas.ct_mel import ct_mel_pallas
+
+        sig = rng.normal(0, 0.1, (2, 66150)).astype(np.float32)
+        ref = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(sig), self.LCFG))
+        out = np.swapaxes(
+            np.asarray(ct_mel_pallas(jnp.asarray(sig), self.LCFG)), -1, -2
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+    def test_1d_and_3d_dispatch(self, rng):
+        from mfcc_rust_tpu.ops.pallas.ct_mel import ct_mel_pallas
+
+        sig = rng.normal(0, 0.1, 33075).astype(np.float32)
+        a = np.asarray(ct_mel_pallas(sig, self.LCFG))
+        b = np.asarray(ct_mel_pallas(np.tile(sig, (2, 3, 1)), self.LCFG))
+        assert b.shape == (2, 3) + a.shape
+        np.testing.assert_allclose(b[1, 2], a, rtol=1e-6, atol=1e-8)
+
+    def test_tile_sizes_agree(self, rng):
+        from mfcc_rust_tpu.ops.pallas.ct_mel import ct_mel_pallas
+
+        sig = rng.normal(0, 0.1, (2, 120000)).astype(np.float32)
+        a = np.asarray(ct_mel_pallas(sig, self.LCFG, tile_f=64))
+        b = np.asarray(ct_mel_pallas(sig, self.LCFG, tile_f=256))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_short_signal_empty(self):
+        from mfcc_rust_tpu.ops.pallas.ct_mel import ct_mel_pallas
+
+        cfg = self.LCFG.replace(center=False)
+        out = ct_mel_pallas(jnp.zeros(100, jnp.float32), cfg)
+        assert out.shape == (0, cfg.num_filters)
+
+    def test_rejects_unsupported(self):
+        from mfcc_rust_tpu.ops.pallas.ct_mel import ct_mel_pallas
+
+        with pytest.raises(ValueError):
+            ct_mel_pallas(jnp.zeros(8000), m.speechpy_config(16000))
+
+    def test_forced_dispatch_through_features(self, rng):
+        """cfg.pallas='force' routes mel_spectrogram_librosa (and therefore
+        mfcc_librosa) through the kernel off-TPU (interpret mode); outputs
+        match the XLA path."""
+        from mfcc_rust_tpu.features import _librosa_pallas_ok
+
+        forced = self.LCFG.replace(pallas="force")
+        assert _librosa_pallas_ok(forced)
+        assert not _librosa_pallas_ok(self.LCFG.replace(pallas="off"))
+        assert not _librosa_pallas_ok(forced.replace(dtype="float64"))
+        sig = rng.normal(0, 0.1, 44100).astype(np.float32)
+        a = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(sig), forced))
+        b = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(sig), self.LCFG))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        am = np.asarray(F.mfcc_librosa(jnp.asarray(sig), forced))
+        bm = np.asarray(F.mfcc_librosa(jnp.asarray(sig), self.LCFG))
+        np.testing.assert_allclose(am, bm, rtol=1e-3, atol=1e-4)
+
+    def test_forced_dispatch_grad(self, rng):
+        """The custom VJP (XLA backward) keeps jax.grad alive through the
+        kernel dispatch and matches the XLA path's gradient."""
+        import jax
+
+        forced = self.LCFG.replace(pallas="force")
+        sig = jnp.asarray(rng.normal(0, 0.1, 22050).astype(np.float32))
+        loss_k = lambda s: jnp.sum(F.mel_spectrogram_librosa(s, forced) ** 0.5)
+        loss_x = lambda s: jnp.sum(
+            F.mel_spectrogram_librosa(s, self.LCFG) ** 0.5
+        )
+        gk = np.asarray(jax.grad(loss_k)(sig))
+        gx = np.asarray(jax.grad(loss_x)(sig))
+        assert np.isfinite(gk).all()
+        np.testing.assert_allclose(gk, gx, rtol=1e-3, atol=1e-5)

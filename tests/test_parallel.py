@@ -120,6 +120,36 @@ def test_corpus_normalize_matches_cmvn(rng):
     np.testing.assert_allclose(ours, gold, rtol=1e-6, atol=1e-7)
 
 
+def test_fetch_outputs_single_transfer_roundtrip(rng):
+    """The packed device->host fetch must reproduce every leaf exactly
+    (f32/bool pytrees) and fall back transparently for f64."""
+    import jax.numpy as jnp
+
+    from mfcc_rust_tpu.parallel.data import fetch_outputs
+    from mfcc_rust_tpu.parallel.stats import CorpusMoments
+
+    feats = jnp.asarray(rng.normal(0, 1, (4, 7, 13)).astype(np.float32))
+    mask = jnp.asarray(rng.random((4, 7)) > 0.5)
+    mom = CorpusMoments(
+        jnp.float32(28.0),
+        jnp.asarray(rng.normal(0, 1, 13).astype(np.float32)),
+        jnp.asarray(np.abs(rng.normal(0, 1, 13)).astype(np.float32)),
+    )
+    tree = ({"a": feats, "mfe": (feats, mask)}, mask, mom)
+    out = fetch_outputs(tree)
+    chex = jax.tree.leaves(out)
+    ref = [np.asarray(l) for l in jax.tree.leaves(tree)]
+    assert all(isinstance(l, np.ndarray) for l in chex)
+    for got, want in zip(chex, ref):
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(got, want)
+    # f64 fallback path
+    tree64 = (feats.astype(jnp.float64), mask)
+    out64 = fetch_outputs(tree64)
+    assert out64[0].dtype == np.float64
+    np.testing.assert_array_equal(out64[0], np.asarray(tree64[0]))
+
+
 def test_tree_merge_deterministic(rng):
     parts = []
     for i in range(5):
