@@ -1,9 +1,10 @@
 """On-TPU A/B + throughput for the fused CT mel Pallas kernel.
 
-Compares numerics (max rel err vs the XLA CT path and vs the f64 oracle
-semantics proxy = XLA at f64... CPU-only, so here vs XLA f32 highest) and
-slope-times the kernel at several frame-tile sizes against the shipped
-XLA librosa mel path.
+Numerics: max rel err of the kernel vs the XLA CT path (pallas="off").
+Throughput: slope-timed XLA path vs the kernel at several frame-tile sizes
+and grid-semantics variants.  NOTE features.mel_spectrogram_librosa
+dispatches to the kernel on TPU by default — always benchmark the XLA side
+with pallas="off".
 """
 
 import sys
@@ -39,33 +40,34 @@ def slope(fn, make_xs, k1=2, k2=6):
 def main():
     rng = np.random.default_rng(0)
     lcfg = librosa_config(22050)
+    xcfg = lcfg.replace(pallas="off")
     B, T = 32, 220500
     audio_s = B * 10.0
 
     # ---- numerics A/B on the chip ------------------------------------------
     sig = rng.normal(0, 0.1, (2, 66150)).astype(np.float32)
-    ref = np.asarray(features.mel_spectrogram_librosa(jnp.asarray(sig), lcfg))
-    for tf in (128,):
-        out = np.swapaxes(np.asarray(ct_mel_pallas(jnp.asarray(sig), lcfg, tile_f=tf)), -1, -2)
-        err = np.abs(out - ref) / (np.abs(ref) + 1e-8)
-        print(f"A/B tile_f={tf}: max rel err vs XLA CT = {err.max():.3e}", flush=True)
+    ref = np.asarray(features.mel_spectrogram_librosa(jnp.asarray(sig), xcfg))
+    out = np.swapaxes(
+        np.asarray(ct_mel_pallas(jnp.asarray(sig), lcfg, tile_f=128)), -1, -2
+    )
+    err = (np.abs(out - ref) / (np.abs(ref) + 1e-8)).max()
+    print(f"A/B tile_f=128: max rel err vs XLA CT = {err:.3e}", flush=True)
 
     def mk_sig(k):
         return jnp.asarray(rng.normal(0, 0.1, (k, B, T)).astype(np.float32))
 
     def report(name, v):
-        print(f"{name:22s} {v*1e3:8.3f} ms  {audio_s/v/1e3:8.1f}k audio-s/s",
+        print(f"{name:26s} {v*1e3:8.3f} ms  {audio_s/v/1e3:8.1f}k audio-s/s",
               flush=True)
 
-    report("xla full", slope(
-        lambda x: features.mel_spectrogram_librosa(x, lcfg).sum(), mk_sig))
-    for tf in (128, 256):
-        try:
-            report(f"pallas tile_f={tf}", slope(
-                lambda x, tf=tf: ct_mel_pallas(x, lcfg, tile_f=tf).sum(), mk_sig))
-        except Exception as e:
-            print(f"pallas tile_f={tf} FAILED: {type(e).__name__}: {e}",
-                  flush=True)
+    report("xla (pallas=off)", slope(
+        lambda x: features.mel_spectrogram_librosa(x, xcfg).sum(), mk_sig))
+    for tf in (96, 128, 192):
+        report(f"pallas tile_f={tf}", slope(
+            lambda x, tf=tf: ct_mel_pallas(x, lcfg, tile_f=tf).sum(), mk_sig))
+    report("pallas tf=128 seq-batch", slope(
+        lambda x: ct_mel_pallas(x, lcfg, tile_f=128,
+                                parallel_batch=False).sum(), mk_sig))
 
 
 if __name__ == "__main__":

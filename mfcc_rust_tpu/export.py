@@ -22,6 +22,11 @@ from .config import FeatureConfig
 
 
 def _pipeline_fn(cfg: FeatureConfig, feature: str):
+    # exported artifacts must be pure StableHLO: the Pallas kernel lowers to
+    # a TPU-only Mosaic custom call that no other backend (or non-JAX
+    # runtime) could execute, so exports always take the XLA lowering
+    if cfg.pallas != "off":
+        cfg = cfg.replace(pallas="off")
     fn = getattr(F, feature)
     return functools.partial(fn, cfg=cfg)
 

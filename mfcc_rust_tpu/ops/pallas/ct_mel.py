@@ -115,17 +115,38 @@ def _ct_mel_constants(cfg: FeatureConfig):
 
     # MXU fill latency dominates at (tile_f, 128)@(128, 128) sizes, so the
     # Hermitian pair (r2, N2-r2) — which shares its stage-1 inputs — merges
-    # into ONE (2*N1, 4*k1max) stage-2 GEMM and ONE (4*k1max, M) projection
-    # GEMM:  [ir | ii] @ [[A_r, A_r'], [B_r, -B_r']] = [o_r | o_r'].
+    # into ONE (2*N1, 4*k1max) stage-2 GEMM:
+    #   [ir | ii] @ [[A_r, A_r'], [B_r, -B_r']] = [o_r | o_r'].
+    # Columns are permuted to [re_r | re_r' | im_r | im_r'] so the power
+    # pre-add  sq[:, :2k] + sq[:, 2k:]  slices at a 2*k1max (= vreg when
+    # k1max=64) boundary — no relayout — and the projection contracts over
+    # 2*k1max instead of a re/im-duplicated 4*k1max (half the proj FLOPs).
     h = n2 // 2
+    re, im = slice(0, k1max), slice(k1max, 2 * k1max)
+
+    def pair_block(r2):
+        r2c = n2 - r2
+        top = np.concatenate(
+            [a[r2][:, re], a[r2c][:, re], a[r2][:, im], a[r2c][:, im]], axis=1
+        )
+        bot = np.concatenate(
+            [b[r2][:, re], -b[r2c][:, re], b[r2][:, im], -b[r2c][:, im]],
+            axis=1,
+        )
+        return np.concatenate([top, bot], axis=0)  # (2*n1, 4*k1max)
+
     ab_pairs = np.stack([
-        np.block([[a[r2], a[n2 - r2]], [b[r2], -b[n2 - r2]]])
-        for r2 in range(1, h)
+        pair_block(r2) for r2 in range(1, h)
     ]) if h > 1 else np.zeros((0, 2 * n1, 4 * k1max))
     proj_pairs = np.stack([
-        np.concatenate([dup(r2), dup(n2 - r2)], axis=0) for r2 in range(1, h)
-    ]) if h > 1 else np.zeros((0, 4 * k1max, mels))
+        np.concatenate([
+            fbp[:, r2 * k1max : (r2 + 1) * k1max].T,
+            fbp[:, (n2 - r2) * k1max : (n2 - r2 + 1) * k1max].T,
+        ], axis=0)
+        for r2 in range(1, h)
+    ]) if h > 1 else np.zeros((0, 2 * k1max, mels))
     # residues 0 and h have ii == 0: stage 2 is a single A GEMM each
+    # (re/im-duplicated projection — only two of these, keep them simple)
     a_single = np.stack([a[0], a[h]])
     proj_single = np.stack([dup(0), dup(h)])
 
@@ -198,8 +219,10 @@ def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, out_ref, *,
         mel = part if mel is None else mel + part
     for j, rr in enumerate(range(1, h)):  # merged (rr, n2-rr) pairs
         z = jnp.concatenate([irs[rr], iis[rr]], axis=1)  # (tile_f, 2*n1)
-        o = dot(z, abp_ref[j])  # [o_rr | o_{n2-rr}], (tile_f, 4*k1max)
-        mel = mel + dot(o * o, pp_ref[j])
+        o = dot(z, abp_ref[j])  # [re|re'|im|im'], (tile_f, 4*k1max)
+        sq = o * o
+        power = sq[:, : 2 * k1max] + sq[:, 2 * k1max :]  # [bins_rr|bins_rr']
+        mel = mel + dot(power, pp_ref[j])
     out_ref[0] = mel
 
 
@@ -208,6 +231,7 @@ def ct_mel_pallas(
     cfg: FeatureConfig,
     tile_f: int = 128,
     interpret: bool | None = None,
+    parallel_batch: bool = True,
 ) -> jnp.ndarray:
     """librosa mel spectrogram via the fused CT kernel:
     (..., T) -> (..., frames, n_mels) — NOTE frame-major (the caller swaps to
@@ -220,11 +244,13 @@ def ct_mel_pallas(
     if not pallas_ct_supported(cfg):
         raise ValueError("config not supported by the fused CT kernel")
     if signal.ndim == 1:
-        return ct_mel_pallas(signal[None], cfg, tile_f, interpret)[0]
+        return ct_mel_pallas(signal[None], cfg, tile_f, interpret,
+                             parallel_batch)[0]
     if signal.ndim > 2:
         lead = signal.shape[:-1]
         out = ct_mel_pallas(
-            signal.reshape((-1, signal.shape[-1])), cfg, tile_f, interpret
+            signal.reshape((-1, signal.shape[-1])), cfg, tile_f, interpret,
+            parallel_batch,
         )
         return out.reshape(lead + out.shape[1:])
 
@@ -279,6 +305,13 @@ def ct_mel_pallas(
         out_specs=pl.BlockSpec((1, tile_f, mels), lambda bb, ii: (bb, ii, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_frames_pad, mels), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # batch rows are independent; tile axis revisits the same input
+            # block, so it must stay sequential ("arbitrary")
+            dimension_semantics=(
+                "parallel" if parallel_batch else "arbitrary", "arbitrary"
+            ),
+        ),
         interpret=(jax.default_backend() != "tpu"
                    if interpret is None else interpret),
     )(
