@@ -309,8 +309,11 @@ def corpus(n_files: int = 192, seed: int = 0):
             total_audio += len(clip) / 16000.0
 
         def run(out_dir):
-            # large batches amortize the fixed per-step round-trip latency
-            # of a remote-attached chip (measured ~100-200 ms per transfer)
+            # H2D bytes are the measured bottleneck through this image's
+            # remote tunnel (~15-35 MB/s effective): the runner ships packed
+            # unpadded int16 PCM and rebuilds the padded f32 batch on device
+            # (parallel/data.py pack_signals), ~3.2x fewer bytes than the
+            # padded-f32 layout.  fetch_every stays 1 — see exp/corpus_ab.py.
             r = CorpusRunner(paths, cfg, mesh, batch_size=128,
                              out_dir=out_dir, n_io_threads=8)
             t0 = time.perf_counter()
@@ -388,6 +391,17 @@ def scaling():
         eff = alln / (one * n_dev)
         emit(f"scaling: audio_s_per_sec @{n_dev}dev", alln)
         emit(f"scaling efficiency @{n_dev}dev (target 0.9)", eff / 0.9, None)
+        if jax.default_backend() == "cpu":
+            # virtual mesh: the N "devices" timeshare one host's cores, so
+            # the per-device efficiency ceiling is 1/N, not 1.  The honest
+            # harness-validation number is total throughput sharded vs
+            # unsharded — >= 1.0 means the mesh/halo/psum wiring adds no
+            # overhead beyond the shared silicon.
+            emit(
+                f"scaling: total throughput @{n_dev}dev / @1dev "
+                "(virtual shared-core mesh; >=1 = sharding overhead-free)",
+                alln / one, None,
+            )
         # sequence-axis halo overhead: same device count, time axis sharded
         # 2/4-way — the ppermute halo of frame_len - hop samples is the only
         # extra work vs the pure-data mesh

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="polyphase-resample inputs whose rate differs from "
                         "--sample-rate (default: error on mismatch)")
     p.add_argument("--io-threads", type=int, default=4)
+    p.add_argument("--fetch-every", type=int, default=1,
+                   help="dispatch-ahead depth: batches kept in flight on the"
+                        " device before one grouped device->host fetch"
+                        " (raise on locally-attached chips)")
     p.add_argument("--max-seconds", type=float, default=240.0,
                    help="decode cap per utterance (longer files are truncated"
                         " with a warning)")
@@ -132,6 +136,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         n_io_threads=args.io_threads,
         max_seconds=args.max_seconds,
         resample=args.resample,
+        fetch_every=args.fetch_every,
         on_batch=None if args.quiet else (
             lambda info: print(json.dumps({"batch": info}), file=sys.stderr)
         ),

@@ -233,6 +233,187 @@ def _local_melspec(
     return mel, mask, moments
 
 
+def _unpack_local(flat, offsets, lengths, t_local, dtype):
+    """Shard body prologue: rebuild this shard's (Bl, t_local) signal block
+    from the replicated flat sample buffer.
+
+    ``flat`` holds every utterance's TRUE samples back to back (no padding)
+    as int16 PCM or float32; row b of the padded batch is
+    ``flat[offsets[b] : offsets[b] + lengths[b]]`` with zeros after.  The
+    gather runs on device because host->device bytes are the corpus
+    bottleneck on remote-attached chips (padding + f32 cost ~3.2x the true
+    PCM16 payload)."""
+    seq_idx = jax.lax.axis_index(SEQ_AXIS)
+    pos = seq_idx * t_local + jnp.arange(t_local, dtype=jnp.int32)[None, :]
+    idx = offsets[:, None].astype(jnp.int32) + pos
+    idx = jnp.minimum(idx, flat.shape[0] - 1)
+    x = jnp.take(flat, idx, axis=0)
+    if x.dtype == jnp.int16:
+        # exact for PCM16 decode: i/32768 is a power-of-two scale
+        x = x.astype(dtype) * jnp.asarray(1.0 / 32768.0, dtype)
+    else:
+        x = x.astype(dtype)
+    return jnp.where(pos < lengths[:, None], x, jnp.zeros((), dtype))
+
+
+def _local_packed(flat, offsets, lengths, cfg, feature, t_local):
+    signals = _unpack_local(flat, offsets, lengths, t_local,
+                            jnp.dtype(cfg.dtype))
+    return _local_features(signals, lengths, cfg, feature)
+
+
+def _local_packed_multi(flat, offsets, lengths, cfg, features, t_local):
+    signals = _unpack_local(flat, offsets, lengths, t_local,
+                            jnp.dtype(cfg.dtype))
+    return _local_multi(signals, lengths, cfg, features)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, feature,
+                                 mesh):
+    t_local = t // mesh.shape[SEQ_AXIS]
+    multi = isinstance(feature, tuple)
+    if multi:
+        body = functools.partial(_local_packed_multi, cfg=cfg,
+                                 features=feature, t_local=t_local)
+        sharded = P(DATA_AXIS, SEQ_AXIS)
+        feat_specs = {
+            name: (sharded, sharded) if name == "mfe" else sharded
+            for name in feature
+        }
+        out_specs = (feat_specs, sharded,
+                     {name: CorpusMoments(P(), P(), P()) for name in feature})
+    else:
+        body = functools.partial(_local_packed, cfg=cfg, feature=feature,
+                                 t_local=t_local)
+        out_specs = (P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, SEQ_AXIS),
+                     CorpusMoments(P(), P(), P()))
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=out_specs,
+    )
+    return mapped(flat, offsets, lengths)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _unpack_resample_impl(flat, offsets, lengths, t, up, down):
+    """Unpack the flat buffer to a padded (B, t) float32 block and polyphase
+    resample it by up/down — one program, so the tunnel H2D carries only the
+    packed source-rate samples.  GSPMD shards rows from offsets' sharding."""
+    from ..ops.resample import resample_poly
+
+    pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(offsets[:, None].astype(jnp.int32) + pos,
+                      flat.shape[0] - 1)
+    x = jnp.take(flat, idx, axis=0)
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) * jnp.asarray(1.0 / 32768.0, jnp.float32)
+    else:
+        x = x.astype(jnp.float32)
+    sig = jnp.where(pos < lengths[:, None], x, jnp.zeros((), jnp.float32))
+    return resample_poly(sig, up, down)
+
+
+def unpack_resample(flat, offsets, lengths_src, t_src: int, up: int,
+                    down: int, mesh: Mesh):
+    """Device entry for the packed mixed-rate path: returns the resampled
+    (B, t_src*up//down) float32 DEVICE array, rows sharded on the data axis."""
+    flat = jax.device_put(flat, NamedSharding(mesh, P()))
+    offsets = jax.device_put(
+        jnp.asarray(offsets, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
+    )
+    lengths_src = jax.device_put(
+        jnp.asarray(lengths_src, jnp.float32),
+        NamedSharding(mesh, P(DATA_AXIS)),
+    )
+    return _unpack_resample_impl(flat, offsets, lengths_src, t_src, up, down)
+
+
+def pack_signals(clips, b_pad: int, mesh: Mesh, flat_align: int = 2048):
+    """Host-side packing for :func:`extraction_step_packed`: concatenate the
+    clips' true samples into one flat buffer (int16 when every clip is
+    exactly PCM16-representable, float32 otherwise), with per-row offsets.
+
+    Returns (flat, offsets (b_pad,), lengths (b_pad,)).  The flat buffer is
+    zero-padded up to a multiple of ``flat_align`` so compiled shapes stay
+    few; rows past ``len(clips)`` get offset 0 / length 0 (fully masked)."""
+    import numpy as np
+
+    lengths = np.zeros(b_pad, dtype=np.int64)
+    offsets = np.zeros(b_pad, dtype=np.int64)
+    total = 0
+    for r, c in enumerate(clips):
+        offsets[r] = total
+        lengths[r] = len(c)
+        total += len(c)
+    n_flat = ((total + flat_align - 1) // flat_align) * flat_align
+    n_flat = max(n_flat, flat_align)
+    # int16 is exact iff every sample sits on the PCM16 grid i/32768
+    q_clips = []
+    exact = True
+    for c in clips:
+        q = np.rint(np.asarray(c, np.float32) * 32768.0)
+        if (np.abs(q) > 32767).any() or not np.array_equal(
+            q.astype(np.float32) / np.float32(32768.0), np.asarray(c, np.float32)
+        ):
+            exact = False
+            break
+        q_clips.append(q.astype(np.int16))
+    if exact:
+        flat = np.zeros(n_flat, dtype=np.int16)
+        for off, q in zip(offsets, q_clips):
+            flat[off : off + len(q)] = q
+    else:
+        flat = np.zeros(n_flat, dtype=np.float32)
+        for r, c in enumerate(clips):
+            flat[offsets[r] : offsets[r] + len(c)] = c
+    return flat, offsets, lengths
+
+
+def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
+                           mesh: Mesh, feature="mfcc"):
+    """:func:`extraction_step` with the packed host->device layout from
+    :func:`pack_signals`: the padded (B, t) signal block is rebuilt ON DEVICE
+    from the unpadded flat buffer, so the tunnel/PCIe transfer carries only
+    true samples (int16 when lossless).  Same outputs as extraction_step."""
+    b = offsets.shape[0]
+    multi = isinstance(feature, (tuple, list))
+    if multi and "melspec" in feature:
+        raise ValueError(
+            "melspec (vorbis hop/framing) cannot join a multi-feature pass"
+        )
+    if feature == "melspec":
+        if cfg.window != "vorbis":
+            cfg = cfg.replace(window="vorbis")
+        hop = cfg.stream_hop
+    else:
+        hop = cfg.frame_step
+        if cfg.frame_size % hop:
+            raise ValueError(
+                "sequence-parallel framing requires frame_size % frame_step == 0"
+            )
+    n_data = mesh.shape[DATA_AXIS]
+    n_seq = mesh.shape[SEQ_AXIS]
+    if b % n_data:
+        raise ValueError(f"batch {b} not divisible by data axis {n_data}")
+    if t % (n_seq * hop):
+        raise ValueError(
+            f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
+        )
+    flat = jax.device_put(flat, NamedSharding(mesh, P()))
+    offsets = jax.device_put(
+        jnp.asarray(offsets, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
+    )
+    lengths = jax.device_put(
+        jnp.asarray(lengths, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
+    )
+    key = tuple(feature) if multi else feature
+    return _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, key,
+                                        mesh)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _extraction_step_impl(signals, lengths, cfg, feature, mesh):
     mapped = shard_map(

@@ -168,6 +168,7 @@ class CorpusRunner:
         max_seconds: float = 240.0,
         on_batch: Optional[Callable[[dict], None]] = None,
         resample: bool = False,
+        fetch_every: int = 1,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -239,21 +240,16 @@ class CorpusRunner:
         # polyphase-resampled on device (per-batch, same-rate batches)
         # instead of raising
         self.resample = resample
-
-    def _resample_batch(self, sig: np.ndarray, up: int, down: int) -> np.ndarray:
-        """Device polyphase resample of a padded (B, T_src) batch, sharded on
-        the mesh's data axis (per-row chunk-GEMMs partition trivially).  The
-        jit cache keys on (shape, up, down) — shapes are bucketed upstream."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..ops.resample import resample_poly
-        from .mesh import DATA_AXIS
-
-        x = jax.device_put(
-            jax.numpy.asarray(sig), NamedSharding(self.mesh, P(DATA_AXIS, None))
-        )
-        out = jax.jit(resample_poly, static_argnums=(1, 2))(x, up, down)
-        return np.asarray(out)
+        # Dispatch-ahead depth: extraction_step calls are asynchronous, so up
+        # to ``fetch_every`` batches stay in flight on device and their output
+        # pytrees come back in ONE packed device->host transfer.  Depth > 1
+        # amortizes per-fetch latency on locally-attached chips; measured on
+        # this image's remote tunnel, resolving a deep pending-program graph
+        # in one fetch is ~3x SLOWER than fetch-per-batch (exp/corpus_ab.py),
+        # so the default stays 1.  Results are consumed in dispatch order
+        # either way, so moment merges stay bitwise deterministic
+        # (test_runner_fetch_depth_invariance).
+        self.fetch_every = max(1, int(fetch_every))
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -288,9 +284,11 @@ class CorpusRunner:
         # one device resample call handles the whole padded batch
         pending: dict = {}
         batches_since_ckpt = 0
+        # batches dispatched to the device but not yet fetched, in dispatch
+        # order: [(utt ids, output pytree, audio seconds)]
+        inflight: List[tuple] = []
 
-        def flush(batch: List[Tuple[int, np.ndarray]], src_rate: int):
-            nonlocal moments, batches_since_ckpt
+        def dispatch(batch: List[Tuple[int, np.ndarray]], src_rate: int):
             import math
 
             ids = [todo[j] for j, _ in batch]
@@ -305,15 +303,26 @@ class CorpusRunner:
                 lengths = src_lengths
                 bucket = bucket_length(int(lengths.max()))
                 bucket = ((bucket + align - 1) // align) * align
-                sig = np.zeros((b_pad, bucket), dtype=self.cfg.dtype)
-                for r, (_, s) in enumerate(batch):
-                    sig[r, : len(s)] = s
+                # packed transfer: ship only true samples (int16 when the
+                # clips are exactly PCM16) and rebuild the padded (B, T)
+                # block on device — host->device bytes are the corpus
+                # bottleneck on remote-attached chips
+                from .data import extraction_step_packed, pack_signals
+
+                flat, offsets, lens = pack_signals(
+                    [s for _, s in batch], b_pad, self.mesh
+                )
+                audio_sec = float(lengths.sum()) / self.cfg.sample_rate
+                with self.meter.measure(0.0, scope="dispatch"):
+                    out = extraction_step_packed(
+                        flat, offsets, lens, bucket, self.cfg, self.mesh,
+                        self.feature,
+                    )
+                inflight.append((ids, out, audio_sec))
+                if len(inflight) >= self.fetch_every:
+                    drain()
+                return
             else:
-                # device polyphase resample of the whole padded batch: zero
-                # padding is transparent through the (linear) resampler — the
-                # filter sees zeros beyond the true length either way — so
-                # row r's first ceil(len*up/down) output samples are exactly
-                # the unpadded resample
                 g = math.gcd(self.cfg.sample_rate, src_rate)
                 up, down = self.cfg.sample_rate // g, src_rate // g
                 lengths = -(-src_lengths * up // down)
@@ -322,61 +331,83 @@ class CorpusRunner:
                 step = down * align // math.gcd(align, up)
                 m0 = bucket_length(int(src_lengths.max()))
                 src_bucket = ((m0 + step - 1) // step) * step
-                sig_src = np.zeros((b_pad, src_bucket), dtype=self.cfg.dtype)
-                for r, (_, s) in enumerate(batch):
-                    sig_src[r, : len(s)] = s
-                sig = self._resample_batch(sig_src, up, down)
+                # packed transfer at the SOURCE rate, unpack+resample fused
+                # in one device program (zero padding is transparent through
+                # the linear resampler: the filter sees zeros beyond the
+                # true length either way, so row r's first ceil(len*up/down)
+                # output samples are exactly the unpadded resample)
+                from .data import pack_signals, unpack_resample
+
+                flat, offsets, src_lens = pack_signals(
+                    [s for _, s in batch], b_pad, self.mesh
+                )
+                sig = unpack_resample(
+                    flat, offsets, src_lens, src_bucket, up, down, self.mesh
+                )
             lens = np.zeros(b_pad, dtype=np.int64)
             lens[:b] = lengths
             audio_sec = float(lengths.sum()) / self.cfg.sample_rate
-            with self.meter.measure(audio_sec):
-                from .data import fetch_outputs
-
+            # asynchronous: enqueues device work and returns device arrays
+            with self.meter.measure(0.0, scope="dispatch"):
                 out = extraction_step(
                     sig, lens, self.cfg, self.mesh, self.feature
                 )
-                # one packed device->host transfer for the whole output
-                # pytree: per-fetch round-trip latency, not bandwidth, is
-                # the bottleneck on remote-attached chips
-                feats, mask, batch_moments = fetch_outputs(out)
+            inflight.append((ids, out, audio_sec))
+            if len(inflight) >= self.fetch_every:
+                drain()
+
+        def drain():
+            nonlocal moments, batches_since_ckpt
+            if not inflight:
+                return
+            from .data import fetch_outputs
+
+            group_audio = sum(a for _, _, a in inflight)
+            # ONE packed device->host transfer for every in-flight batch's
+            # output pytree: per-fetch round-trip latency, not bandwidth, is
+            # the bottleneck on remote-attached chips
+            with self.meter.measure(group_audio, scope="fetch"):
+                fetched = fetch_outputs([out for _, out, _ in inflight])
+            records = list(zip(inflight, fetched))
+            inflight.clear()
+            for (ids, _, audio_sec), (feats, mask, batch_moments) in records:
                 if self.multi:
                     feats = {
                         k: (v[0] if k == "mfe" else v)
                         for k, v in feats.items()
                     }
-            if self.multi:
-                moments = {
-                    k: moments[k].merge(batch_moments[k]) for k in moments
-                }
-            else:
-                moments = moments.merge(batch_moments)
-            if self.out_dir:
-                for r, utt_id in enumerate(ids):
-                    out_path = self.out_dir / self._out_names[utt_id]
-                    if out_path.exists():
-                        continue  # idempotent restart-safe output
-                    n_valid = int(mask[r].sum())
-                    if self.multi:
-                        tmp = out_path.with_suffix(".tmp.npz")
-                        np.savez(
-                            tmp,
-                            **{k: v[r, :n_valid] for k, v in feats.items()},
-                        )
-                    else:
-                        tmp = out_path.with_suffix(".tmp.npy")
-                        np.save(tmp, feats[r, :n_valid])
-                    os.replace(tmp, out_path)
-            if self.store is not None:
-                self.store.mark(ids, batch_moments)
-                batches_since_ckpt += 1
-                if batches_since_ckpt >= self.checkpoint_every:
-                    self.store.save()
-                    batches_since_ckpt = 0
-            if self.on_batch:
-                self.on_batch(
-                    {"utts": len(ids), "audio_seconds": audio_sec,
-                     "throughput": self.meter.throughput}
-                )
+                    moments = {
+                        k: moments[k].merge(batch_moments[k]) for k in moments
+                    }
+                else:
+                    moments = moments.merge(batch_moments)
+                if self.out_dir:
+                    for r, utt_id in enumerate(ids):
+                        out_path = self.out_dir / self._out_names[utt_id]
+                        if out_path.exists():
+                            continue  # idempotent restart-safe output
+                        n_valid = int(mask[r].sum())
+                        if self.multi:
+                            tmp = out_path.with_suffix(".tmp.npz")
+                            np.savez(
+                                tmp,
+                                **{k: v[r, :n_valid] for k, v in feats.items()},
+                            )
+                        else:
+                            tmp = out_path.with_suffix(".tmp.npy")
+                            np.save(tmp, feats[r, :n_valid])
+                        os.replace(tmp, out_path)
+                if self.store is not None:
+                    self.store.mark(ids, batch_moments)
+                    batches_since_ckpt += 1
+                    if batches_since_ckpt >= self.checkpoint_every:
+                        self.store.save()
+                        batches_since_ckpt = 0
+                if self.on_batch:
+                    self.on_batch(
+                        {"utts": len(ids), "audio_seconds": audio_sec,
+                         "throughput": self.meter.throughput}
+                    )
 
         import math
 
@@ -412,11 +443,12 @@ class CorpusRunner:
             pool = pending.setdefault(key, [])
             pool.append((j, samples))
             if len(pool) >= self.batch_size:
-                flush(pool, sr)
+                dispatch(pool, sr)
                 pending[key] = []
         for (sr, _), pool in pending.items():
             if pool:
-                flush(pool, sr)
+                dispatch(pool, sr)
+        drain()
         if self.store is not None:
             self.store.moments = moments
             self.store.save()

@@ -251,3 +251,148 @@ def test_extraction_step_multi_feature(rng):
         extraction_step(sigs, lengths, cfg, mesh, ("mfcc", "melspec"))
     with pytest.raises(ValueError, match="unknown features"):
         extraction_step(sigs, lengths, cfg, mesh, ("mfcc", "plp"))
+
+
+# ------------------------------------------------------- packed H2D layout --
+def _quantize_pcm16(x):
+    """Snap float32 samples onto the PCM16 grid (what a WAV decode yields)."""
+    return (np.rint(x * 32768.0).clip(-32768, 32767).astype(np.float32)
+            / np.float32(32768.0))
+
+
+def test_extraction_step_packed_matches_padded(rng):
+    """pack_signals + extraction_step_packed == extraction_step on the
+    host-padded batch: the device-side unpack (int16 path) reconstructs the
+    identical float32 signal block, ragged lengths and seq sharding
+    included."""
+    from mfcc_rust_tpu.parallel import extraction_step_packed, pack_signals
+
+    mesh = make_mesh(n_data=4, n_seq=2)
+    cfg = m.speechpy_config(16000)
+    hop = cfg.frame_step
+    t, b = hop * 60, 4
+    lengths = np.array([t, t - 777, t - 3200, hop * 30])
+    clips = [_quantize_pcm16(rng.normal(0, 0.1, L).astype(np.float32))
+             for L in lengths]
+    b_pad = 8  # exercise fully-masked padding rows too
+    sigs = np.zeros((b_pad, t), np.float32)
+    for i, c in enumerate(clips):
+        sigs[i, : len(c)] = c
+    lens_pad = np.zeros(b_pad, np.int64)
+    lens_pad[:b] = lengths
+
+    ref_feats, ref_mask, ref_mom = extraction_step(sigs, lens_pad, cfg, mesh)
+    flat, offsets, lens = pack_signals(clips, b_pad, mesh)
+    assert flat.dtype == np.int16  # PCM-grid clips take the half-size path
+    np.testing.assert_array_equal(lens, lens_pad)
+    feats, mask, mom = extraction_step_packed(
+        flat, offsets, lens, t, cfg, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(ref_feats), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(mom.mean), np.asarray(ref_mom.mean), rtol=1e-6, atol=1e-7
+    )
+    assert int(mom.count) == int(ref_mom.count)
+
+
+def test_extraction_step_packed_f32_fallback(rng):
+    """Clips off the PCM16 grid must fall back to a float32 flat buffer and
+    still match the padded step exactly."""
+    from mfcc_rust_tpu.parallel import extraction_step_packed, pack_signals
+
+    mesh = make_mesh(n_data=2, n_seq=1)
+    cfg = m.speechpy_config(16000)
+    hop = cfg.frame_step
+    t, b = hop * 40, 2
+    lengths = np.array([t, t - 1234])
+    clips = [rng.normal(0, 0.1, L).astype(np.float32) for L in lengths]
+    sigs = np.zeros((b, t), np.float32)
+    for i, c in enumerate(clips):
+        sigs[i, : len(c)] = c
+
+    ref_feats, ref_mask, _ = extraction_step(sigs, lengths, cfg, mesh)
+    flat, offsets, lens = pack_signals(clips, b, mesh)
+    assert flat.dtype == np.float32
+    feats, mask, _ = extraction_step_packed(flat, offsets, lens, t, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(ref_feats), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_extraction_step_packed_multi_and_melspec(rng):
+    """Packed layout through the multi-feature head and the vorbis melspec
+    framing (stream-hop alignment, ceil(L/hop) masks)."""
+    from mfcc_rust_tpu.parallel import extraction_step_packed, pack_signals
+
+    mesh = make_mesh(n_data=2, n_seq=2)
+    cfg = m.speechpy_config(16000)
+    hop = cfg.frame_step
+    t, b = hop * 80, 4
+    lengths = np.array([t, t - 777, t - 3200, hop * 40])
+    clips = [_quantize_pcm16(rng.normal(0, 0.1, L).astype(np.float32))
+             for L in lengths]
+    sigs = np.zeros((b, t), np.float32)
+    for i, c in enumerate(clips):
+        sigs[i, : len(c)] = c
+    which = ("mfcc", "lmfe", "energy")
+    ref_out, ref_mask, ref_mom = extraction_step(sigs, lengths, cfg, mesh, which)
+    flat, offsets, lens = pack_signals(clips, b, mesh)
+    out, mask, mom = extraction_step_packed(
+        flat, offsets, lens, t, cfg, mesh, which
+    )
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+    for name in which:
+        np.testing.assert_allclose(
+            np.asarray(out[name]), np.asarray(ref_out[name]),
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mom[name].total), np.asarray(ref_mom[name].total),
+            rtol=1e-6,
+        )
+
+    vcfg = m.vorbis_config(16000, frame_length=0.01)
+    vt = vcfg.stream_hop * 64
+    vclips = [c[: min(len(c), vt)] for c in clips]
+    vsigs = np.zeros((b, vt), np.float32)
+    vlens = np.zeros(b, np.int64)
+    for i, c in enumerate(vclips):
+        vsigs[i, : len(c)] = c
+        vlens[i] = len(c)
+    ref_feats, ref_mask, _ = extraction_step(vsigs, vlens, vcfg, mesh, "melspec")
+    flat, offsets, lens = pack_signals(vclips, b, mesh)
+    feats, mask, _ = extraction_step_packed(
+        flat, offsets, lens, vt, vcfg, mesh, "melspec"
+    )
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(ref_feats), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_unpack_resample_matches_padded(rng):
+    """Packed source-rate transfer + fused device unpack/resample == the
+    padded host batch through resample_poly."""
+    import jax
+
+    from mfcc_rust_tpu.ops.resample import resample_poly
+    from mfcc_rust_tpu.parallel import pack_signals, unpack_resample
+
+    mesh = make_mesh(n_data=2, n_seq=1)
+    up, down = 2, 1  # 8 kHz -> 16 kHz
+    t_src, b = 8192, 2
+    lengths = np.array([t_src, t_src - 999])
+    clips = [_quantize_pcm16(rng.normal(0, 0.1, L).astype(np.float32))
+             for L in lengths]
+    sigs = np.zeros((b, t_src), np.float32)
+    for i, c in enumerate(clips):
+        sigs[i, : len(c)] = c
+    ref = np.asarray(jax.jit(resample_poly, static_argnums=(1, 2))(
+        jnp.asarray(sigs), up, down))
+    flat, offsets, lens = pack_signals(clips, b, mesh)
+    out = np.asarray(unpack_resample(flat, offsets, lens, t_src, up, down, mesh))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)

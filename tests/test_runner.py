@@ -113,6 +113,34 @@ def test_runner_multihost_simulation(corpus, tmp_path):
     assert int(merged.count) == int(single.count)
 
 
+def test_runner_fetch_depth_invariance(corpus, tmp_path):
+    """Dispatch-ahead depth is a pure latency knob: any fetch_every yields
+    identical per-utterance outputs.  Moments are compared to float32
+    round-off only: the threaded loader's arrival order (and so the f32
+    merge order) is not deterministic across runs — a pre-existing property
+    independent of fetch depth."""
+    paths, _ = corpus
+    mesh = make_mesh(n_data=4, n_seq=1)
+    runs = {}
+    for depth in (1, 3, 64):
+        out = tmp_path / f"feats_d{depth}"
+        moments = CorpusRunner(paths, CFG, mesh, batch_size=4,
+                               out_dir=str(out), fetch_every=depth).run()
+        runs[depth] = (out, moments)
+    out1, m1 = runs[1]
+    for depth in (3, 64):
+        outd, md = runs[depth]
+        np.testing.assert_allclose(np.asarray(m1.mean), np.asarray(md.mean),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(m1.m2), np.asarray(md.m2),
+                                   rtol=1e-5)
+        assert int(m1.count) == int(md.count)
+        for f in sorted(out1.glob("*.npy")):
+            a = np.load(f)
+            b = np.load(outd / f.name)
+            assert np.array_equal(a, b), f.name
+
+
 def test_runner_rejects_wrong_sample_rate(tmp_path, rng):
     p = tmp_path / "bad_sr.wav"
     write_wav(str(p), rng.normal(0, 0.1, 8000).astype(np.float32), 8000)
