@@ -32,15 +32,17 @@ for i, s in enumerate(secs):
 print(f"corpus: {n_files} files, {total_audio:.1f} audio-s", flush=True)
 
 try:
-    for depth in (16, 1, 16, 1):
-        out = f"{tmp}/out_{depth}_{time.monotonic_ns()}"
+    combos = [(1, 0), (1, 2), (2, 2), (1, 4), (1, 0), (1, 2)]
+    for depth, threads in combos:
+        out = f"{tmp}/out_{time.monotonic_ns()}"
         r = CorpusRunner(paths, cfg, mesh, batch_size=128, out_dir=out,
-                         n_io_threads=8, fetch_every=depth)
+                         n_io_threads=8, fetch_every=depth,
+                         fetch_threads=threads)
         t0 = time.perf_counter()
         r.run()
         wall = time.perf_counter() - t0
-        print(f"fetch_every={depth:3d}: wall={wall:7.3f}s "
-              f"e2e={total_audio / wall:8.1f} audio-s/s "
+        print(f"fetch_every={depth:3d} fetch_threads={threads}: "
+              f"wall={wall:7.3f}s e2e={total_audio / wall:8.1f} audio-s/s "
               f"scopes={ {k: round(v, 3) for k, v in r.meter.scopes.items()} } "
               f"batches={r.meter.batches}", flush=True)
         shutil.rmtree(out)

@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dispatch-ahead depth: batches kept in flight on the"
                         " device before one grouped device->host fetch"
                         " (raise on locally-attached chips)")
+    p.add_argument("--fetch-threads", type=int, default=2,
+                   help="concurrent device->host fetches (0 = synchronous);"
+                        " results are consumed in dispatch order regardless")
     p.add_argument("--max-seconds", type=float, default=240.0,
                    help="decode cap per utterance (longer files are truncated"
                         " with a warning)")
@@ -137,6 +140,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         max_seconds=args.max_seconds,
         resample=args.resample,
         fetch_every=args.fetch_every,
+        fetch_threads=args.fetch_threads,
         on_batch=None if args.quiet else (
             lambda info: print(json.dumps({"batch": info}), file=sys.stderr)
         ),

@@ -169,6 +169,7 @@ class CorpusRunner:
         on_batch: Optional[Callable[[dict], None]] = None,
         resample: bool = False,
         fetch_every: int = 1,
+        fetch_threads: int = 2,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -250,6 +251,16 @@ class CorpusRunner:
         # either way, so moment merges stay bitwise deterministic
         # (test_runner_fetch_depth_invariance).
         self.fetch_every = max(1, int(fetch_every))
+        # Overlapped fetches: device->host transfers for different batches
+        # pipeline through the link (measured 2.6-3.5x on this image's
+        # tunnel with 1-2 concurrent fetches, exp/tunnel_overlap.py), so
+        # fetch groups run in a small thread pool while the main thread
+        # keeps decoding and dispatching.  Results are still CONSUMED
+        # (moments merged, outputs written, checkpoint marked) strictly in
+        # dispatch order on the main thread — a bounded deque of futures —
+        # so determinism and failure semantics are unchanged.  0 = fetch
+        # synchronously on the main thread.
+        self.fetch_threads = max(0, int(fetch_threads))
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -287,6 +298,18 @@ class CorpusRunner:
         # batches dispatched to the device but not yet fetched, in dispatch
         # order: [(utt ids, output pytree, audio seconds)]
         inflight: List[tuple] = []
+        # fetch groups in flight in the pool, oldest first
+        from collections import deque
+
+        pending_fetches: deque = deque()
+        executor = None
+        if self.fetch_threads:
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(
+                self.fetch_threads, thread_name_prefix="corpus-fetch"
+            )
+        max_pending = self.fetch_threads + 2
 
         def dispatch(batch: List[Tuple[int, np.ndarray]], src_rate: int):
             import math
@@ -357,20 +380,42 @@ class CorpusRunner:
                 drain()
 
         def drain():
-            nonlocal moments, batches_since_ckpt
+            # submit the in-flight group for fetching (ONE packed transfer
+            # per group); with fetch threads, the transfer overlaps further
+            # dispatch/decode and older groups are consumed once the bounded
+            # queue fills — always in dispatch order
             if not inflight:
                 return
             from .data import fetch_outputs
 
-            group_audio = sum(a for _, _, a in inflight)
-            # ONE packed device->host transfer for every in-flight batch's
-            # output pytree: per-fetch round-trip latency, not bandwidth, is
-            # the bottleneck on remote-attached chips
-            with self.meter.measure(group_audio, scope="fetch"):
-                fetched = fetch_outputs([out for _, out, _ in inflight])
-            records = list(zip(inflight, fetched))
+            records = list(inflight)
             inflight.clear()
-            for (ids, _, audio_sec), (feats, mask, batch_moments) in records:
+            trees = [out for _, out, _ in records]
+            if executor is None:
+                group_audio = sum(a for _, _, a in records)
+                with self.meter.measure(group_audio, scope="fetch"):
+                    fetched = fetch_outputs(trees)
+                consume(records, fetched)
+                return
+            pending_fetches.append((records, executor.submit(fetch_outputs,
+                                                             trees)))
+            while len(pending_fetches) > max_pending:
+                consume_oldest()
+
+        def consume_oldest():
+            records, fut = pending_fetches.popleft()
+            group_audio = sum(a for _, _, a in records)
+            # only the residual wait bills here: the transfer itself ran
+            # concurrently in the fetch pool
+            with self.meter.measure(group_audio, scope="fetch"):
+                fetched = fut.result()
+            consume(records, fetched)
+
+        def consume(records, fetched):
+            nonlocal moments, batches_since_ckpt
+            for (ids, _, audio_sec), (feats, mask, batch_moments) in zip(
+                records, fetched
+            ):
                 if self.multi:
                     feats = {
                         k: (v[0] if k == "mfe" else v)
@@ -411,44 +456,54 @@ class CorpusRunner:
 
         import math
 
-        for j, samples, sr in loader:
-            if sr != self.cfg.sample_rate and not self.resample:
-                raise ValueError(
-                    f"{self.all_paths[todo[j]]}: sample rate {sr} != config "
-                    f"{self.cfg.sample_rate} (pass resample=True to convert)"
-                )
-            # frame-count check at the TARGET rate (post-resample length)
-            if sr == self.cfg.sample_rate:
-                n_t = len(samples)
-            else:
-                g = math.gcd(self.cfg.sample_rate, sr)
-                n_t = -(-len(samples) * (self.cfg.sample_rate // g) // (sr // g))
-            # drop utterances too short to produce one frame (reference
-            # yields an empty matrix for these, feature.rs:102-104); the
-            # vorbis/melspec path frames any length (ceil(L/hop) chunks)
-            if self.feature == "melspec":
-                num = -(-n_t // hop)
-            else:
-                num, _ = speechpy_frame_counts(
-                    n_t, self.cfg.frame_size, hop, zero_padding=False
-                )
-            if num <= 0:
-                if self.store is not None:
-                    self.store.done[todo[j]] = True
-                continue
-            # pools key on (rate, length bucket): batches are same-bucket, so
-            # a 1 s clip never pads to a 35 s neighbor (padding waste bounded
-            # by the bucket grid's ~25%) and compiled shapes stay few
-            key = (sr, bucket_length(len(samples)))
-            pool = pending.setdefault(key, [])
-            pool.append((j, samples))
-            if len(pool) >= self.batch_size:
-                dispatch(pool, sr)
-                pending[key] = []
-        for (sr, _), pool in pending.items():
-            if pool:
-                dispatch(pool, sr)
-        drain()
+        try:
+            for j, samples, sr in loader:
+                if sr != self.cfg.sample_rate and not self.resample:
+                    raise ValueError(
+                        f"{self.all_paths[todo[j]]}: sample rate {sr} != "
+                        f"config {self.cfg.sample_rate} "
+                        "(pass resample=True to convert)"
+                    )
+                # frame-count check at the TARGET rate (post-resample length)
+                if sr == self.cfg.sample_rate:
+                    n_t = len(samples)
+                else:
+                    g = math.gcd(self.cfg.sample_rate, sr)
+                    n_t = -(
+                        -len(samples) * (self.cfg.sample_rate // g) // (sr // g)
+                    )
+                # drop utterances too short to produce one frame (reference
+                # yields an empty matrix for these, feature.rs:102-104); the
+                # vorbis/melspec path frames any length (ceil(L/hop) chunks)
+                if self.feature == "melspec":
+                    num = -(-n_t // hop)
+                else:
+                    num, _ = speechpy_frame_counts(
+                        n_t, self.cfg.frame_size, hop, zero_padding=False
+                    )
+                if num <= 0:
+                    if self.store is not None:
+                        self.store.done[todo[j]] = True
+                    continue
+                # pools key on (rate, length bucket): batches are same-bucket,
+                # so a 1 s clip never pads to a 35 s neighbor (padding waste
+                # bounded by the bucket grid's ~25%) and compiled shapes stay
+                # few
+                key = (sr, bucket_length(len(samples)))
+                pool = pending.setdefault(key, [])
+                pool.append((j, samples))
+                if len(pool) >= self.batch_size:
+                    dispatch(pool, sr)
+                    pending[key] = []
+            for (sr, _), pool in pending.items():
+                if pool:
+                    dispatch(pool, sr)
+            drain()
+            while pending_fetches:
+                consume_oldest()
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
         if self.store is not None:
             self.store.moments = moments
             self.store.save()

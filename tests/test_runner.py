@@ -122,10 +122,11 @@ def test_runner_fetch_depth_invariance(corpus, tmp_path):
     paths, _ = corpus
     mesh = make_mesh(n_data=4, n_seq=1)
     runs = {}
-    for depth in (1, 3, 64):
+    for depth, threads in ((1, 0), (3, 2), (64, 1)):
         out = tmp_path / f"feats_d{depth}"
         moments = CorpusRunner(paths, CFG, mesh, batch_size=4,
-                               out_dir=str(out), fetch_every=depth).run()
+                               out_dir=str(out), fetch_every=depth,
+                               fetch_threads=threads).run()
         runs[depth] = (out, moments)
     out1, m1 = runs[1]
     for depth in (3, 64):
