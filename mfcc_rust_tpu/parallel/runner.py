@@ -311,17 +311,20 @@ class CorpusRunner:
             )
         max_pending = self.fetch_threads + 2
 
-        def dispatch(batch: List[Tuple[int, np.ndarray]], src_rate: int):
+        def dispatch(batch: List[tuple], src_rate: int):
             import math
 
-            ids = [todo[j] for j, _ in batch]
+            ids = [todo[j] for j, _, _ in batch]
+            # loader-metadata provenance: requantize losslessly without the
+            # per-sample verify pass when every clip is mono PCM16
+            exact = all(meta.pcm16_exact for _, _, meta in batch)
             b = len(batch)
             # partial tail batches round up to a power of two (then to the
             # data axis): a handful of compiled batch shapes instead of one
             # per remainder size; padded rows carry length 0 -> fully masked
             b_pad = b if b >= self.batch_size else 1 << (b - 1).bit_length()
             b_pad = ((b_pad + n_data - 1) // n_data) * n_data
-            src_lengths = np.array([len(s) for _, s in batch], dtype=np.int64)
+            src_lengths = np.array([len(s) for _, s, _ in batch], dtype=np.int64)
             if src_rate == self.cfg.sample_rate:
                 lengths = src_lengths
                 bucket = bucket_length(int(lengths.max()))
@@ -333,7 +336,8 @@ class CorpusRunner:
                 from .data import extraction_step_packed, pack_signals
 
                 flat, offsets, lens = pack_signals(
-                    [s for _, s in batch], b_pad, self.mesh
+                    [s for _, s, _ in batch], b_pad, self.mesh,
+                    pcm16_exact=exact,
                 )
                 audio_sec = float(lengths.sum()) / self.cfg.sample_rate
                 with self.meter.measure(0.0, scope="dispatch"):
@@ -362,7 +366,8 @@ class CorpusRunner:
                 from .data import pack_signals, unpack_resample
 
                 flat, offsets, src_lens = pack_signals(
-                    [s for _, s in batch], b_pad, self.mesh
+                    [s for _, s, _ in batch], b_pad, self.mesh,
+                    pcm16_exact=exact,
                 )
                 sig = unpack_resample(
                     flat, offsets, src_lens, src_bucket, up, down, self.mesh
@@ -457,7 +462,7 @@ class CorpusRunner:
         import math
 
         try:
-            for j, samples, sr in loader:
+            for j, samples, sr, meta in loader:
                 if sr != self.cfg.sample_rate and not self.resample:
                     raise ValueError(
                         f"{self.all_paths[todo[j]]}: sample rate {sr} != "
@@ -491,7 +496,7 @@ class CorpusRunner:
                 # few
                 key = (sr, bucket_length(len(samples)))
                 pool = pending.setdefault(key, [])
-                pool.append((j, samples))
+                pool.append((j, samples, meta))
                 if len(pool) >= self.batch_size:
                     dispatch(pool, sr)
                     pending[key] = []

@@ -75,7 +75,8 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_float), ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
-            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.loader_destroy.restype = None
         lib.loader_destroy.argtypes = [ctypes.c_void_p]

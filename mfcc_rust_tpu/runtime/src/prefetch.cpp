@@ -10,7 +10,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
-#include <deque>
+#include <map>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -36,6 +36,9 @@ struct Item {
   int frames;                // decoded frames (or negative error code)
   uint32_t sample_rate;
   uint32_t channels;         // values per frame in `data` (1 when mixed)
+  uint32_t format;           // source WAV format tag (1 = PCM, 3 = float)
+  uint32_t bits;             // source bits per sample
+  uint32_t src_channels;     // channel count in the FILE (mixdown provenance)
   std::vector<float> data;
 };
 
@@ -47,10 +50,14 @@ struct Loader {
 
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
-  std::deque<Item> queue;
+  // Reorder buffer keyed on path index: the consumer pops strictly in path
+  // order, so downstream batch composition is DETERMINISTIC across runs
+  // regardless of worker completion order (SURVEY §7 multi-host determinism
+  // — the in-host half).  Workers may overfill by one item each when they
+  // hold the next-needed index, which bounds memory at capacity + n_threads.
+  std::map<size_t, Item> ready;
   std::atomic<size_t> next_path{0};
-  size_t emitted = 0;   // items popped by the consumer
-  size_t produced = 0;  // items pushed by workers
+  size_t next_emit = 0;  // index the consumer needs next
   bool stopping = false;
   std::vector<std::thread> workers;
 
@@ -63,6 +70,9 @@ struct Loader {
       WavInfo info{};
       int prc = wav_probe(paths[i].c_str(), &info);
       it.sample_rate = prc == 0 ? info.sample_rate : 0;
+      it.format = prc == 0 ? info.format : 0;
+      it.bits = prc == 0 ? info.bits_per_sample : 0;
+      it.src_channels = prc == 0 ? info.channels : 0;
       // interleaved output is frames*channels floats — size the buffer for
       // the full frame width or a multi-channel file overruns it.  If the
       // probe failed the channel count is unknown, so force a mono mixdown
@@ -82,10 +92,13 @@ struct Loader {
                                effective_mix ? 1 : 0);
       if (it.frames > 0) it.data.resize((size_t)it.frames * ch);
       std::unique_lock<std::mutex> lk(mu);
-      cv_push.wait(lk, [&] { return queue.size() < capacity || stopping; });
+      // the next-needed index always bypasses the capacity bound, so the
+      // in-order consumer can never deadlock against a full buffer
+      cv_push.wait(lk, [&] {
+        return ready.size() < capacity || i == next_emit || stopping;
+      });
       if (stopping) return;
-      queue.push_back(std::move(it));
-      produced++;
+      ready.emplace(i, std::move(it));
       cv_pop.notify_one();
     }
   }
@@ -110,28 +123,31 @@ void* loader_create(const char** paths, int n_paths, int n_threads,
   return ld;
 }
 
-// Pops the next decoded item (arrival order, not path order).  Returns:
-//   0  item copied (index_out, frames_out, ch_out, sr_out set; data into
-//      buf — interleaved, frames_out*ch_out floats, capped at buf_values)
+// Pops the next decoded item in PATH ORDER (deterministic).  Returns:
+//   0  item copied (index_out, frames_out, ch_out, sr_out, fmt_out,
+//      bits_out set; data into buf — interleaved, frames_out*ch_out floats,
+//      capped at buf_values)
 //   1  exhausted (all paths consumed)
 //  <0  decode error for the item at index_out (frames_out = error code)
 int loader_next(void* handle, int* index_out, float* buf, uint32_t buf_values,
-                uint32_t* frames_out, uint32_t* ch_out, uint32_t* sr_out) {
+                uint32_t* frames_out, uint32_t* ch_out, uint32_t* sr_out,
+                uint32_t* fmt_out, uint32_t* bits_out, uint32_t* src_ch_out) {
   auto* ld = (Loader*)handle;
   std::unique_lock<std::mutex> lk(ld->mu);
-  ld->cv_pop.wait(lk, [&] {
-    return !ld->queue.empty() || ld->emitted + ld->queue.size() >= ld->paths.size();
-  });
-  if (ld->queue.empty()) return 1;
-  Item it = std::move(ld->queue.front());
-  ld->queue.pop_front();
-  ld->emitted++;
-  ld->cv_push.notify_one();
+  if (ld->next_emit >= ld->paths.size()) return 1;
+  ld->cv_pop.wait(lk, [&] { return ld->ready.count(ld->next_emit) != 0; });
+  auto node = ld->ready.extract(ld->next_emit);
+  Item it = std::move(node.mapped());
+  ld->next_emit++;
+  ld->cv_push.notify_all();
   lk.unlock();
 
   *index_out = it.index;
   *sr_out = it.sample_rate;
   *ch_out = it.channels;
+  *fmt_out = it.format;
+  *bits_out = it.bits;
+  *src_ch_out = it.src_channels;
   if (it.frames < 0) {
     *frames_out = (uint32_t)(-it.frames);
     return it.frames;

@@ -227,8 +227,9 @@ def test_loader_stereo_native(tmp_path, rng):
     write_wav(p, stereo, 16000)
     items = list(AudioLoader([p], n_threads=1, mix_mono=False, max_seconds=10))
     assert len(items) == 1
-    _, data, sr = items[0]
+    _, data, sr, meta = items[0]
     assert data.shape == (48000, 2) and sr == 16000
+    assert meta.src_channels == 2 and not meta.pcm16_exact
     np.testing.assert_allclose(data, stereo, atol=1.0 / 10000)
 
 

@@ -64,10 +64,14 @@ def test_loader_yields_all(wav_dir):
     d, clips = wav_dir
     paths = [str(d / f"clip{i}.wav") for i in range(len(clips))]
     seen = {}
-    for idx, samples, sr in AudioLoader(paths, n_threads=3, capacity=2):
+    order = []
+    for idx, samples, sr, meta in AudioLoader(paths, n_threads=3, capacity=2):
         assert sr == 16000
+        assert meta.pcm16_exact  # write_wav emits mono PCM16
         seen[idx] = samples
-    assert sorted(seen) == list(range(len(clips)))
+        order.append(idx)
+    # deterministic in-path-order emission (reorder buffer)
+    assert order == list(range(len(clips)))
     for i, clip in enumerate(clips):
         assert seen[i].shape == clip.shape
         np.testing.assert_allclose(seen[i], clip, atol=1.0 / 10000)
