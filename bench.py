@@ -24,42 +24,69 @@ import numpy as np
 TARGET = 50_000.0  # north-star audio-seconds/s/chip (BASELINE.json)
 
 
-def _slope_timer(make_fn, make_xs, audio_seconds_per_batch, k1=4, k2=12):
+def _slope_timer(make_fn, make_xs, audio_seconds_per_batch, k1=4, k2=12,
+                 n_slopes=5):
     """True device seconds per batch: two-point slope over scan length
-    cancels the fixed per-call dispatch latency of the remote TPU tunnel."""
+    cancels the fixed per-call dispatch latency of the remote TPU tunnel.
+
+    ``n_slopes`` independent (k1, k2) timing pairs -> median slope + relative
+    spread (max-min over median), so 1.2-2x comparisons across artifacts are
+    interpretable (single best-of-N slopes disagreed at the +-30% level in
+    round 2).  Returns (median audio-s/s, rel_spread)."""
     import jax
     from jax import lax
 
-    def timed(k):
+    def build(k):
         xs = make_xs(k)
         fn = jax.jit(
             lambda xs: lax.scan(
                 lambda c, x: (c + make_fn(x), None), np.float32(0), xs
             )[0]
         )
-        float(fn(xs))
-        best = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            float(fn(xs))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        float(fn(xs))  # compile + warm
+        return fn, xs
 
-    per_batch = (timed(k2) - timed(k1)) / (k2 - k1)
-    return audio_seconds_per_batch / per_batch
+    f1, x1 = build(k1)
+    f2, x2 = build(k2)
+    vals = []
+    for _ in range(n_slopes):
+        t0 = time.perf_counter()
+        float(f1(x1))  # host scalar read == hard completion barrier
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f2(x2))
+        tb = time.perf_counter() - t0
+        vals.append(audio_seconds_per_batch / ((tb - ta) / (k2 - k1)))
+    vals.sort()
+    med = vals[len(vals) // 2]
+    return med, (vals[-1] - vals[0]) / med
 
 
-def _emit(metric, value):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 1),
-                "unit": "audio-s/s/chip",
-                "vs_baseline": round(value / TARGET, 4),
-            }
-        )
-    )
+def _sol(cfg, feature):
+    """Speed-of-light (audio-s/s) for the lowering that actually dispatches
+    for (cfg, feature) on the attached chip — utils/profiling's per-lowering
+    roofline (tile-quantized MXU / VPU / HBM, perfect-overlap optimistic)."""
+    from mfcc_rust_tpu.utils.profiling import speed_of_light
+
+    try:
+        return speed_of_light(cfg, feature)["speed_of_light_audio_s_per_s"]
+    except Exception:
+        return None
+
+
+def _emit(metric, value, spread=None, sol=None):
+    rec = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / TARGET, 4),
+    }
+    if spread is not None:
+        rec["rel_spread"] = round(spread, 4)
+    if sol is not None:
+        rec["sol_fraction"] = round(value / sol, 4)
+        rec["speed_of_light"] = round(sol, 1)
+    print(json.dumps(rec))
 
 
 def suite():
@@ -91,87 +118,82 @@ def suite():
         }))
         assert err <= 1e-3, "fused CT mel kernel failed the A/B numerics gate"
 
-    _emit(
-        "audio_seconds_per_sec_per_chip (librosa mel 2048/512/128)",
-        _slope_timer(
-            lambda x: features.mel_spectrogram_librosa(x, lcfg).sum(),
+    v, s = _slope_timer(
+        lambda x: features.mel_spectrogram_librosa(x, lcfg).sum(),
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
+        ),
+        b2 * 10.0,
+    )
+    _emit("audio_seconds_per_sec_per_chip (librosa mel 2048/512/128)", v,
+          spread=s, sol=_sol(lcfg, "mel_librosa"))
+    if _librosa_pallas_ok(lcfg):
+        v, s = _slope_timer(
+            lambda x: features.mel_spectrogram_librosa(
+                x, lcfg.replace(pallas="off")
+            ).sum(),
             lambda k: jnp.asarray(
                 rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
             ),
             b2 * 10.0,
-        ),
-    )
-    if _librosa_pallas_ok(lcfg):
-        _emit(
-            "audio_seconds_per_sec_per_chip (librosa mel, XLA path: pallas=off)",
-            _slope_timer(
-                lambda x: features.mel_spectrogram_librosa(
-                    x, lcfg.replace(pallas="off")
-                ).sum(),
-                lambda k: jnp.asarray(
-                    rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
-                ),
-                b2 * 10.0,
-            ),
         )
+        _emit("audio_seconds_per_sec_per_chip (librosa mel, XLA path: "
+              "pallas=off)", v, spread=s,
+              sol=_sol(lcfg.replace(pallas="off"), "mel_librosa"))
 
     # reference-parity vorbis mel spectrogram (feature.rs:151-174)
     from mfcc_rust_tpu import vorbis_config
 
     vcfg = vorbis_config(16000)
     bv, tv = 64, 160000
-    _emit(
-        "audio_seconds_per_sec_per_chip (vorbis mel_spectrogram)",
-        _slope_timer(
-            lambda x: features.mel_spectrogram(x, vcfg).sum(),
-            lambda k: jnp.asarray(
-                rng.normal(0, 0.1, (k, bv, tv)).astype(np.float32)
-            ),
-            bv * 10.0,
+    v, s = _slope_timer(
+        lambda x: features.mel_spectrogram(x, vcfg).sum(),
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, bv, tv)).astype(np.float32)
         ),
+        bv * 10.0,
     )
+    _emit("audio_seconds_per_sec_per_chip (vorbis mel_spectrogram)", v,
+          spread=s, sol=_sol(vcfg, "melspec"))
 
     # librosa fast mode: precision="high" (3-pass MXU; max-rel ~1e-4 vs the
     # f64 oracle, measured on v5e — see exp/ct_shootout.py)
     import dataclasses
 
     lcfg_hi = dataclasses.replace(lcfg, precision="high")
-    _emit(
-        "audio_seconds_per_sec_per_chip (librosa mel, precision=high fast mode)",
-        _slope_timer(
-            lambda x: features.mel_spectrogram_librosa(x, lcfg_hi).sum(),
-            lambda k: jnp.asarray(
-                rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
-            ),
-            b2 * 10.0,
+    v, s = _slope_timer(
+        lambda x: features.mel_spectrogram_librosa(x, lcfg_hi).sum(),
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
         ),
+        b2 * 10.0,
     )
+    _emit("audio_seconds_per_sec_per_chip (librosa mel, precision=high "
+          "fast mode)", v, spread=s, sol=_sol(lcfg_hi, "mel_librosa"))
 
     # librosa MFCC (rides the CT-fused mel path)
-    _emit(
-        "audio_seconds_per_sec_per_chip (librosa mfcc 20)",
-        _slope_timer(
-            lambda x: features.mfcc_librosa(x, lcfg).sum(),
-            lambda k: jnp.asarray(
-                rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
-            ),
-            b2 * 10.0,
+    v, s = _slope_timer(
+        lambda x: features.mfcc_librosa(x, lcfg).sum(),
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
         ),
+        b2 * 10.0,
     )
+    _emit("audio_seconds_per_sec_per_chip (librosa mfcc 20)", v, spread=s,
+          sol=_sol(lcfg, "mfcc_librosa"))
 
     # production fast mode: precision=high (3-pass MXU, ~1e-4 rel accuracy)
     cfg_hi = FeatureConfig(sample_rate=16000, precision="high")
     bh, th = 64, 160000
-    _emit(
-        "audio_seconds_per_sec_per_chip (MFCC-13, precision=high fast mode)",
-        _slope_timer(
-            lambda x: features.mfcc(x, cfg_hi).sum(),
-            lambda k: jnp.asarray(
-                rng.normal(0, 0.1, (k, bh, th)).astype(np.float32)
-            ),
-            bh * 10.0,
+    v, s = _slope_timer(
+        lambda x: features.mfcc(x, cfg_hi).sum(),
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, bh, th)).astype(np.float32)
         ),
+        bh * 10.0,
     )
+    _emit("audio_seconds_per_sec_per_chip (MFCC-13, precision=high fast "
+          "mode)", v, spread=s, sol=_sol(cfg_hi, "mfcc"))
 
     # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded
     # batch, via the single-frontend-pass multi-feature API
@@ -189,16 +211,15 @@ def suite():
             + out["mfcc"].sum()
         )
 
-    _emit(
-        "audio_seconds_per_sec_per_chip (full suite: mfe+lmfe+ssc+mfcc)",
-        _slope_timer(
-            full_suite,
-            lambda k: jnp.asarray(
-                rng.normal(0, 0.1, (k, b3, t3)).astype(np.float32)
-            ),
-            b3 * 10.0,
+    v, s = _slope_timer(
+        full_suite,
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, b3, t3)).astype(np.float32)
         ),
+        b3 * 10.0,
     )
+    _emit("audio_seconds_per_sec_per_chip (full suite: mfe+lmfe+ssc+mfcc)",
+          v, spread=s)
 
     # config 4: ragged utterances (1-35 s), bucketed: measure at the 2
     # dominant buckets and report audio-weighted throughput
@@ -207,7 +228,7 @@ def suite():
     total_as, total_wall = 0.0, 0.0
     for seconds, bsz in [(5, 64), (20, 16)]:
         t = bucket_length(seconds * 16000)
-        val = _slope_timer(
+        val, _ = _slope_timer(
             lambda x: features.mfcc(x, cfg).sum(),
             lambda k: jnp.asarray(
                 rng.normal(0, 0.1, (k, bsz, t)).astype(np.float32)
@@ -225,51 +246,31 @@ def suite():
 
 
 def main():
-    import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from mfcc_rust_tpu import FeatureConfig, features
 
     cfg = FeatureConfig(sample_rate=16000)
     batch, seconds = 64, 10
-    k1, k2 = 4, 16
     t = seconds * cfg.sample_rate
     rng = np.random.default_rng(0)
 
     # Methodology: K distinct batches scanned in ONE device call (distinct
     # data defeats CSE/caching), a host scalar read as the completion barrier
     # (block_until_ready is not reliable through the remote-execution
-    # tunnel), and a two-point SLOPE over K to cancel the fixed ~25 ms
-    # per-call dispatch overhead — the slope is pure device time per batch.
-    def timed(k):
-        xs = jnp.asarray(rng.normal(0, 0.1, (k, batch, t)).astype(np.float32))
-        fn = jax.jit(
-            lambda xs: lax.scan(
-                lambda c, x: (c + features.mfcc(x, cfg).sum(), None),
-                jnp.float32(0), xs,
-            )[0]
-        )
-        float(fn(xs))  # compile + warm
-        best = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            float(fn(xs))  # host scalar read == hard completion barrier
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    per_batch = (timed(k2) - timed(k1)) / (k2 - k1)
-    value = batch * seconds / per_batch
-    print(
-        json.dumps(
-            {
-                "metric": "audio_seconds_per_sec_per_chip (MFCC-13, 16kHz)",
-                "value": round(value, 1),
-                "unit": "audio-s/s/chip",
-                "vs_baseline": round(value / TARGET, 4),
-            }
-        )
+    # tunnel), and two-point SLOPEs over K to cancel the fixed ~25 ms
+    # per-call dispatch overhead — median of 5 independent slopes + spread.
+    value, spread = _slope_timer(
+        lambda x: features.mfcc(x, cfg).sum(),
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, batch, t)).astype(np.float32)
+        ),
+        batch * float(seconds),
+        k1=4,
+        k2=16,
     )
+    _emit("audio_seconds_per_sec_per_chip (MFCC-13, 16kHz)", value,
+          spread=spread, sol=_sol(cfg, "mfcc"))
 
 
 def corpus(n_files: int = 192, seed: int = 0):
@@ -338,6 +339,46 @@ def corpus(n_files: int = 192, seed: int = 0):
             "value": round(1.0 - meter.wall_seconds / wall, 4), "unit": "ratio",
             "vs_baseline": 0.0,
         }))
+        print(json.dumps({
+            "metric": "corpus meter scope seconds (decode_wait/pack/dispatch/"
+                      "fetch/write vs total wall)",
+            "value": round(wall, 3), "unit": "s",
+            "vs_baseline": 0.0,
+            "scopes": {k: round(v, 3) for k, v in meter.scopes.items()},
+        }))
+
+        # Link roofline: the packed path ships 2 bytes/sample (int16), so
+        # the wire ceiling is link_bytes_per_s / (2 * sample_rate).  Measure
+        # the link at corpus-batch size with the SAME transfer the runner
+        # issues (device_put of a flat int16 buffer + a scalar readback as
+        # the completion barrier).
+        import jax
+        import jax.numpy as jnp
+
+        nbytes = 24 * 1024 * 1024  # ~ one 128-clip batch of ~6 s utterances
+        buf = np.zeros(nbytes // 2, dtype=np.int16)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            dev = jax.device_put(buf)
+            float(jnp.sum(dev[:1].astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        link_bps = nbytes / best
+        wire_bound = link_bps / (2.0 * cfg.sample_rate)
+        print(json.dumps({
+            "metric": "corpus H2D link (measured, MB/s) and wire-ceiling "
+                      "audio_s/s for packed int16",
+            "value": round(link_bps / 1e6, 1), "unit": "MB/s",
+            "vs_baseline": 0.0,
+            "wire_bound_audio_s_per_s": round(wire_bound, 1),
+        }))
+        print(json.dumps({
+            "metric": "corpus fraction of link roofline (end-to-end / wire "
+                      "ceiling; ~1 = provably wire-bound)",
+            "value": round(total_audio / wall / wire_bound, 4),
+            "unit": "ratio", "vs_baseline": 0.0,
+            "device_scope_fraction": round(meter.throughput / wire_bound, 4),
+        }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -379,45 +420,62 @@ def scaling():
             best = min(best, time.perf_counter() - t0)
         return b * (t / run_cfg.sample_rate) / best
 
-    def emit(metric, value, target=TARGET):
+    def emit(metric, value, target=TARGET, unit=None):
         print(json.dumps({"metric": metric, "value": round(value, 4),
-                          "unit": "audio-s/s" if target else "ratio",
+                          "unit": unit or ("audio-s/s" if target else "ratio"),
                           "vs_baseline": round(value / (target or 1.0), 4)}))
 
+    on_tpu = jax.default_backend() == "tpu"
     one = run(jax.devices()[:1])
     emit("scaling: audio_s_per_sec @1dev", one)
     if n_dev > 1:
         alln = run(jax.devices())
-        eff = alln / (one * n_dev)
         emit(f"scaling: audio_s_per_sec @{n_dev}dev", alln)
-        emit(f"scaling efficiency @{n_dev}dev (target 0.9)", eff / 0.9, None)
-        if jax.default_backend() == "cpu":
-            # virtual mesh: the N "devices" timeshare one host's cores, so
-            # the per-device efficiency ceiling is 1/N, not 1.  The honest
-            # harness-validation number is total throughput sharded vs
-            # unsharded — >= 1.0 means the mesh/halo/psum wiring adds no
-            # overhead beyond the shared silicon.
+        if on_tpu:
+            # the BASELINE config-5 measurement: real chips, real ICI
+            eff = alln / (one * n_dev)
+            emit(f"scaling efficiency @{n_dev}dev (target 0.9)", eff / 0.9,
+                 None)
+        else:
+            # virtual CPU mesh: the N "devices" timeshare one host's cores,
+            # so per-device efficiency is meaningless (ceiling 1/N, ratios
+            # can exceed 1.0).  The ONLY claim these lines support is that
+            # the mesh/halo/psum wiring works and adds no overhead beyond
+            # the shared silicon — they are harness validation, NOT
+            # performance data.
             emit(
-                f"scaling: total throughput @{n_dev}dev / @1dev "
-                "(virtual shared-core mesh; >=1 = sharding overhead-free)",
+                f"HARNESS-VALIDATION (virtual shared-core mesh, not perf): "
+                f"total throughput @{n_dev}dev / @1dev >= 1 = "
+                "sharding wiring overhead-free",
                 alln / one, None,
             )
-        # sequence-axis halo overhead: same device count, time axis sharded
+        # sequence-axis halo sweep: same device count, time axis sharded
         # 2/4-way — the ppermute halo of frame_len - hop samples is the only
-        # extra work vs the pure-data mesh
+        # extra work vs the pure-data mesh.  Only a real-ICI mesh can price
+        # the halo; on the virtual mesh these lines only prove the wiring
+        # executes (shared cores make the ratio unphysical).
         base = alln
         for n_seq in (2, 4):
             if n_dev % n_seq:
                 continue
             v = run(jax.devices(), n_seq=n_seq)
-            emit(f"scaling: audio_s_per_sec @{n_dev}dev n_seq={n_seq}", v)
-            emit(f"seq-halo relative throughput n_seq={n_seq} (1.0 = free halo)",
-                 v / base, None)
+            if on_tpu:
+                emit(f"scaling: audio_s_per_sec @{n_dev}dev n_seq={n_seq}", v)
+                emit(f"seq-halo relative throughput n_seq={n_seq} "
+                     "(1.0 = free halo)", v / base, None)
+            else:
+                emit(f"HARNESS-VALIDATION (virtual mesh, not perf): seq-halo "
+                     f"n_seq={n_seq} executed", 1.0, None, unit="ok")
         # vorbis melspec on the seq mesh (reference mel_spectrogram family)
         vcfg = vorbis_config(16000)
         v = run(jax.devices(), n_seq=min(2, n_dev), feature="melspec",
                 run_cfg=vcfg)
-        emit(f"scaling: vorbis melspec audio_s_per_sec @{n_dev}dev n_seq=2", v)
+        if on_tpu:
+            emit(f"scaling: vorbis melspec audio_s_per_sec @{n_dev}dev "
+                 "n_seq=2", v)
+        else:
+            emit("HARNESS-VALIDATION (virtual mesh, not perf): vorbis "
+                 "melspec n_seq=2 executed", 1.0, None, unit="ok")
 
 
 if __name__ == "__main__":

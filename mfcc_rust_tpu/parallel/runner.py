@@ -170,6 +170,7 @@ class CorpusRunner:
         resample: bool = False,
         fetch_every: int = 1,
         fetch_threads: int = 2,
+        write_threads: int = 2,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -261,6 +262,12 @@ class CorpusRunner:
         # so determinism and failure semantics are unchanged.  0 = fetch
         # synchronously on the main thread.
         self.fetch_threads = max(0, int(fetch_threads))
+        # Per-utterance .npy/.npz writes run in a small writer pool so file
+        # I/O overlaps decode/dispatch/fetch instead of billing the main
+        # thread (part of the corpus host overhead).  Writes are flushed
+        # before every checkpoint save, so "done" is never durable before
+        # its outputs are.  0 = write synchronously.
+        self.write_threads = max(0, int(write_threads))
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -303,13 +310,38 @@ class CorpusRunner:
 
         pending_fetches: deque = deque()
         executor = None
-        if self.fetch_threads:
-            from concurrent.futures import ThreadPoolExecutor
+        writer = None
+        write_futures: List = []
+        from concurrent.futures import ThreadPoolExecutor
 
+        if self.fetch_threads:
             executor = ThreadPoolExecutor(
                 self.fetch_threads, thread_name_prefix="corpus-fetch"
             )
+        if self.write_threads and self.out_dir:
+            writer = ThreadPoolExecutor(
+                self.write_threads, thread_name_prefix="corpus-write"
+            )
         max_pending = self.fetch_threads + 2
+
+        def write_one(out_path: Path, payload) -> None:
+            if out_path.exists():
+                return  # idempotent restart-safe output
+            if isinstance(payload, dict):
+                tmp = out_path.with_suffix(".tmp.npz")
+                np.savez(tmp, **payload)
+            else:
+                tmp = out_path.with_suffix(".tmp.npy")
+                np.save(tmp, payload)
+            os.replace(tmp, out_path)
+
+        def flush_writes() -> None:
+            # durability barrier: all submitted outputs on disk (and any
+            # writer exception re-raised) before a checkpoint can mark done
+            nonlocal write_futures
+            for f in write_futures:
+                f.result()
+            write_futures = []
 
         def dispatch(batch: List[tuple], src_rate: int):
             import math
@@ -335,10 +367,11 @@ class CorpusRunner:
                 # bottleneck on remote-attached chips
                 from .data import extraction_step_packed, pack_signals
 
-                flat, offsets, lens = pack_signals(
-                    [s for _, s, _ in batch], b_pad, self.mesh,
-                    pcm16_exact=exact,
-                )
+                with self.meter.measure(0.0, scope="pack"):
+                    flat, offsets, lens = pack_signals(
+                        [s for _, s, _ in batch], b_pad, self.mesh,
+                        pcm16_exact=exact,
+                    )
                 audio_sec = float(lengths.sum()) / self.cfg.sample_rate
                 with self.meter.measure(0.0, scope="dispatch"):
                     out = extraction_step_packed(
@@ -365,10 +398,11 @@ class CorpusRunner:
                 # output samples are exactly the unpadded resample)
                 from .data import pack_signals, unpack_resample
 
-                flat, offsets, src_lens = pack_signals(
-                    [s for _, s, _ in batch], b_pad, self.mesh,
-                    pcm16_exact=exact,
-                )
+                with self.meter.measure(0.0, scope="pack"):
+                    flat, offsets, src_lens = pack_signals(
+                        [s for _, s, _ in batch], b_pad, self.mesh,
+                        pcm16_exact=exact,
+                    )
                 sig = unpack_resample(
                     flat, offsets, src_lens, src_bucket, up, down, self.mesh
                 )
@@ -434,23 +468,25 @@ class CorpusRunner:
                 if self.out_dir:
                     for r, utt_id in enumerate(ids):
                         out_path = self.out_dir / self._out_names[utt_id]
-                        if out_path.exists():
-                            continue  # idempotent restart-safe output
                         n_valid = int(mask[r].sum())
                         if self.multi:
-                            tmp = out_path.with_suffix(".tmp.npz")
-                            np.savez(
-                                tmp,
-                                **{k: v[r, :n_valid] for k, v in feats.items()},
+                            payload = {
+                                k: v[r, :n_valid] for k, v in feats.items()
+                            }
+                        else:
+                            payload = feats[r, :n_valid]
+                        if writer is not None:
+                            write_futures.append(
+                                writer.submit(write_one, out_path, payload)
                             )
                         else:
-                            tmp = out_path.with_suffix(".tmp.npy")
-                            np.save(tmp, feats[r, :n_valid])
-                        os.replace(tmp, out_path)
+                            with self.meter.measure(0.0, scope="write"):
+                                write_one(out_path, payload)
                 if self.store is not None:
                     self.store.mark(ids, batch_moments)
                     batches_since_ckpt += 1
                     if batches_since_ckpt >= self.checkpoint_every:
+                        flush_writes()
                         self.store.save()
                         batches_since_ckpt = 0
                 if self.on_batch:
@@ -462,7 +498,13 @@ class CorpusRunner:
         import math
 
         try:
-            for j, samples, sr, meta in loader:
+            it = iter(loader)
+            while True:
+                with self.meter.measure(0.0, scope="decode_wait"):
+                    rec = next(it, None)
+                if rec is None:
+                    break
+                j, samples, sr, meta = rec
                 if sr != self.cfg.sample_rate and not self.resample:
                     raise ValueError(
                         f"{self.all_paths[todo[j]]}: sample rate {sr} != "
@@ -506,9 +548,12 @@ class CorpusRunner:
             drain()
             while pending_fetches:
                 consume_oldest()
+            flush_writes()
         finally:
             if executor is not None:
                 executor.shutdown(wait=True)
+            if writer is not None:
+                writer.shutdown(wait=True)
         if self.store is not None:
             self.store.moments = moments
             self.store.save()
