@@ -171,6 +171,33 @@ def suite():
     _emit("audio_seconds_per_sec_per_chip (librosa mel, precision=high "
           "fast mode)", v, spread=s, sol=_sol(lcfg_hi, "mel_librosa"))
 
+    # 16 kHz production frontend (n_fft 512, hop 160 — Whisper-style): rides
+    # the frames-input Pallas CT layout (hop does not divide into N1 lanes)
+    pcfg = librosa_config(16000, n_fft=512, hop_length=160, n_mels=80)
+    bp, tp = 64, 160000
+    if _librosa_pallas_ok(pcfg):
+        sigp = jnp.asarray(rng.normal(0, 0.1, (2, 48000)).astype(np.float32))
+        refp = np.asarray(
+            features.mel_spectrogram_librosa(sigp, pcfg.replace(pallas="off"))
+        )
+        outp = np.asarray(features.mel_spectrogram_librosa(sigp, pcfg))
+        errp = float((np.abs(outp - refp) / (np.abs(refp) + 1e-8)).max())
+        print(json.dumps({
+            "metric": "pallas CT mel (512/160 frames layout) A/B max rel err "
+                      "vs XLA (gate 1e-3)",
+            "value": errp, "unit": "rel", "vs_baseline": round(errp / 1e-3, 6),
+        }))
+        assert errp <= 1e-3, "frames-layout CT kernel failed the A/B gate"
+    v, s = _slope_timer(
+        lambda x: features.mel_spectrogram_librosa(x, pcfg).sum(),
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, bp, tp)).astype(np.float32)
+        ),
+        bp * 10.0,
+    )
+    _emit("audio_seconds_per_sec_per_chip (librosa mel 512/160/80 @16kHz "
+          "production config)", v, spread=s, sol=_sol(pcfg, "mel_librosa"))
+
     # librosa MFCC (rides the CT-fused mel path)
     v, s = _slope_timer(
         lambda x: features.mfcc_librosa(x, lcfg).sum(),

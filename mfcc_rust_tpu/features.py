@@ -343,13 +343,18 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
 def _librosa_pallas_ok(cfg: FeatureConfig) -> bool:
     """Dispatch the fused Pallas CT mel kernel (ops/pallas/ct_mel.py):
     qualifying config + "auto" on the TPU backend (or "force" anywhere —
-    interpret mode off-TPU, for tests)."""
+    interpret mode off-TPU, for tests).  The kernel is its own FFT
+    implementation (it carries the CT factorization internally), so it only
+    defers to an EXPLICIT fft_impl="fft" request — under "auto"/"matmul"/"ct"
+    it takes any config it supports (512-point production frontends included,
+    where resolve_fft_impl would pick the direct matmul for the XLA path)."""
     if cfg.pallas == "off" or cfg.dtype != "float32":  # kernel is f32-only
         return False
+    if cfg.fft_impl == "fft":
+        return False
     from .ops.pallas.ct_mel import pallas_ct_supported
-    from .ops.spectrum import resolve_fft_impl
 
-    if resolve_fft_impl(cfg) != "ct" or not pallas_ct_supported(cfg):
+    if not pallas_ct_supported(cfg):
         return False
     return cfg.pallas == "force" or jax.default_backend() == "tpu"
 
@@ -372,7 +377,13 @@ def _mel_librosa_pallas_fwd(signal, cfg):
 
 
 def _mel_librosa_pallas_bwd(cfg, signal, g):
-    _, vjp = jax.vjp(lambda s: _librosa_ct_mel(s, cfg), signal)
+    # recompute through the mathematically-identical XLA lowering for the
+    # config (CT when it qualifies, direct/gather otherwise — kernel configs
+    # like 512/160 have no XLA CT twin)
+    _, vjp = jax.vjp(
+        lambda s: mel_spectrogram_librosa(s, cfg.replace(pallas="off")),
+        signal,
+    )
     return vjp(g)
 
 

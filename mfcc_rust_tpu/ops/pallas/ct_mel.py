@@ -47,24 +47,39 @@ from ...config import FeatureConfig
 from ...constants import constant_bundle
 
 
-def pallas_ct_supported(cfg: FeatureConfig) -> bool:
-    """Same algebra as features._librosa_ct_ok plus the chunk-row layout
-    conditions (hop must split into whole N1 lanes)."""
-    from ..fft import good_factorization
+def kernel_factorization(cfg: FeatureConfig):
+    """The CT plane this kernel uses: N1 = 128 (stage-2 contraction exactly
+    fills the MXU's systolic depth) whenever fft_points is a multiple of 128
+    with an EVEN cofactor (the Hermitian-paired stage 1 needs even N2).
+    Independent of ops.fft.good_factorization, whose near-square fallback
+    (e.g. 512 -> (32, 16)) is tuned for the XLA lowering's GEMM shapes."""
+    n = cfg.fft_points
+    if n % 128 == 0 and (n // 128) % 2 == 0 and n // 128 >= 2:
+        return 128, n // 128
+    return None
 
-    if cfg.frame_size != cfg.fft_points or cfg.power != 2.0:
-        return False
-    f = good_factorization(cfg.fft_points)
+
+def _chunk_layout_ok(cfg: FeatureConfig) -> bool:
+    """The zero-copy hop-chunked input layout (one DMA per batch row, tiles
+    iterate in VMEM) needs frames to start on whole chunk rows of whole N1
+    lanes."""
+    f = kernel_factorization(cfg)
     if f is None:
         return False
-    n1, n2 = f
+    n1, _ = f
     hop = cfg.frame_step
-    return (
-        cfg.fft_points % hop == 0
-        and hop % n1 == 0
-        and n1 % 128 == 0  # stage-2 contraction fills MXU lanes exactly
-        and n2 % 2 == 0  # the Hermitian-paired stage 1 assumes even N2
-    )
+    return cfg.fft_points % hop == 0 and hop % n1 == 0
+
+
+def pallas_ct_supported(cfg: FeatureConfig) -> bool:
+    """Kernel dispatch predicate.  Configs whose hop does not divide into
+    whole N1 lanes (e.g. 16 kHz n_fft=512 / hop=160 production frontends)
+    take the frames-input layout: frames are gathered once by XLA (strided
+    chunk slices) and the kernel fuses window + both CT stages + |X|^2 + mel
+    in VMEM — still one HBM read of the frames and one mel write."""
+    if cfg.frame_size != cfg.fft_points or cfg.power != 2.0:
+        return False
+    return kernel_factorization(cfg) is not None
 
 
 @functools.lru_cache(maxsize=16)
@@ -91,12 +106,11 @@ def _ct_mel_constants(cfg: FeatureConfig):
     from ..fft import (
         _ct_foldtw_matrices,
         _ct_constants,
-        good_factorization,
         permute_weights_for_ct,
     )
 
     n = cfg.fft_points
-    n1, n2 = good_factorization(n)
+    n1, n2 = kernel_factorization(cfg)
     bundle = constant_bundle(cfg)
     fbp = permute_weights_for_ct(bundle["fbank"], n, (n1, n2))  # (M, n2*k1max)
     k1max = fbp.shape[1] // n2
@@ -165,25 +179,33 @@ def _ct_mel_constants(cfg: FeatureConfig):
 
 
 def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, out_ref, *,
-            tile_f, r, rows, n1, n2, k1max, mels, precision, c2, s2):
+            tile_f, r, rows, n1, n2, k1max, mels, precision, c2, s2,
+            layout="chunks"):
     """c2/s2 (the tiny N2 x N2 stage-1 weight tables) are baked in as Python
     floats — each multiplies a whole (tile_f, N1) array, so they lower to
-    scalar-broadcast VPU FMAs with no constant traffic at all."""
-    i = pl.program_id(1)
-    base = pl.multiple_of(i * tile_f, tile_f)
-    # one sublane-aligned slab load (dynamic starts must be provably
-    # 8-aligned for Mosaic), then r shifted views as *static* sub-slices;
-    # frame f (tile-local) spans chunks base+f .. base+f+r-1, i.e. view s
-    # supplies CT rows n2 = s*rows + q
-    pad_r = -(-(r - 1) // 8) * 8
-    slab = ch_ref[0, pl.ds(base, tile_f + pad_r), :]
-    xs = [slab[s : s + tile_f, :] for s in range(r)]
+    scalar-broadcast VPU FMAs with no constant traffic at all.
 
+    ``layout``: "chunks" reads a hop-chunked signal row and assembles the r
+    shifted views in VMEM (zero-copy framing; needs hop | fft and n1 | hop);
+    "frames" reads pre-gathered (tile_f, N2, N1) frame tiles (any hop)."""
     # window (the only per-q full-vector multiply)
     xw = []
-    for q in range(n2):
-        x = xs[q // rows][:, (q % rows) * n1 : (q % rows + 1) * n1]
-        xw.append(x * win_ref[q, :][None, :])
+    if layout == "frames":
+        for q in range(n2):
+            xw.append(ch_ref[0, :, q, :] * win_ref[q, :][None, :])
+    else:
+        i = pl.program_id(1)
+        base = pl.multiple_of(i * tile_f, tile_f)
+        # one sublane-aligned slab load (dynamic starts must be provably
+        # 8-aligned for Mosaic), then r shifted views as *static* sub-slices;
+        # frame f (tile-local) spans chunks base+f .. base+f+r-1, i.e. view s
+        # supplies CT rows n2 = s*rows + q
+        pad_r = -(-(r - 1) // 8) * 8
+        slab = ch_ref[0, pl.ds(base, tile_f + pad_r), :]
+        xs = [slab[s : s + tile_f, :] for s in range(r)]
+        for q in range(n2):
+            x = xs[q // rows][:, (q % rows) * n1 : (q % rows + 1) * n1]
+            xw.append(x * win_ref[q, :][None, :])
 
     # Hermitian-paired stage 1 (see _ct_mel_constants): pre-add q-pairs,
     # then short FMA chains with 0 / +-1 weights specialized away
@@ -258,8 +280,6 @@ def ct_mel_pallas(
      n1, n2, k1max, mels) = _ct_mel_constants(cfg)
     n = cfg.fft_points
     hop = cfg.frame_step
-    r = n // hop
-    rows = hop // n1
     signal = jnp.asarray(signal, jnp.float32)
 
     if cfg.center:
@@ -272,16 +292,59 @@ def ct_mel_pallas(
 
     n_blocks = pl.cdiv(count, tile_f)
     n_frames_pad = n_blocks * tile_f
-    # slab loads read tile_f + round_up(r-1, 8) chunk rows past each base
-    n_chunks = n_frames_pad + (-(-(r - 1) // 8) * 8)
-    need = n_chunks * hop
-    if need > t:
-        signal = jnp.pad(signal, [(0, 0), (0, need - t)])
-    chunks = signal[:, :need].reshape(bsz, n_chunks, hop)
+    chunked = _chunk_layout_ok(cfg)
+
+    if chunked:
+        r = n // hop
+        rows = hop // n1
+        # slab loads read tile_f + round_up(r-1, 8) chunk rows past each base
+        n_chunks = n_frames_pad + (-(-(r - 1) // 8) * 8)
+        need = n_chunks * hop
+        if need > t:
+            signal = jnp.pad(signal, [(0, 0), (0, need - t)])
+        inp = signal[:, :need].reshape(bsz, n_chunks, hop)
+        in0 = pl.BlockSpec(
+            # whole chunk row per batch element; constant in the tile axis,
+            # so Pallas DMA's it once per row and tiles iterate in VMEM
+            (1, n_chunks, hop), lambda bb, ii: (bb, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        # frames-input layout for hop % n1 != 0 / fft % hop != 0 (e.g.
+        # 16 kHz n_fft=512, hop=160): gather frames once in XLA via strided
+        # chunk slices (gcd(n, hop)-sample chunks keep the gather a pure
+        # relayout), reshape onto the CT (N2, N1) plane; the kernel reads
+        # each (tile_f, N2, N1) tile once and fuses everything downstream
+        r, rows = 0, 0  # unused by the frames kernel
+        g = math.gcd(n, hop)
+        need = (count - 1) * hop + n
+        if need > t:
+            signal = jnp.pad(signal, [(0, 0), (0, need - t)])
+            t = need
+        if g >= 8:
+            stride = hop // g
+            span = n // g
+            n_ch = t // g
+            ch = signal[:, : n_ch * g].reshape(bsz, n_ch, g)
+            limit = stride * (count - 1) + 1
+            parts = [ch[:, s : s + limit : stride, :] for s in range(span)]
+            frames = jnp.concatenate(parts, axis=-1)  # (bsz, count, n)
+        else:  # degenerate gcd: plain gather
+            idx = (np.arange(count)[:, None] * hop
+                   + np.arange(n)[None, :])
+            frames = signal[:, idx]
+        if n_frames_pad > count:
+            frames = jnp.pad(frames, [(0, 0), (0, n_frames_pad - count),
+                                      (0, 0)])
+        inp = frames.reshape(bsz, n_frames_pad, n2, n1)
+        in0 = pl.BlockSpec((1, tile_f, n2, n1),
+                           lambda bb, ii: (bb, ii, 0, 0),
+                           memory_space=pltpu.VMEM)
 
     kern = functools.partial(
         _kernel, tile_f=tile_f, r=r, rows=rows, n1=n1, n2=n2, k1max=k1max,
         mels=mels, c2=c2, s2=s2,
+        layout="chunks" if chunked else "frames",
         precision=(jax.lax.Precision.DEFAULT if cfg.precision == "default"
                    else jax.lax.Precision.HIGHEST),
     )
@@ -292,10 +355,7 @@ def ct_mel_pallas(
         kern,
         grid=(bsz, n_blocks),
         in_specs=[
-            # whole chunk row per batch element; constant in the tile axis,
-            # so Pallas DMA's it once per row and tiles iterate in VMEM
-            pl.BlockSpec((1, n_chunks, hop), lambda bb, ii: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
+            in0,
             const(win.shape),
             const(ab_pairs.shape),
             const(a_single.shape),
@@ -306,16 +366,18 @@ def ct_mel_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_frames_pad, mels), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            # batch rows are independent; tile axis revisits the same input
-            # block, so it must stay sequential ("arbitrary")
+            # batch rows are independent; in the chunked layout the tile
+            # axis revisits the same input block, so it stays sequential;
+            # the frames layout has fully independent tiles
             dimension_semantics=(
-                "parallel" if parallel_batch else "arbitrary", "arbitrary"
+                ("parallel" if parallel_batch else "arbitrary",
+                 "arbitrary" if chunked else "parallel")
             ),
         ),
         interpret=(jax.default_backend() != "tpu"
                    if interpret is None else interpret),
     )(
-        chunks,
+        inp,
         jnp.asarray(win),
         jnp.asarray(ab_pairs), jnp.asarray(a_single),
         jnp.asarray(proj_pairs), jnp.asarray(proj_single),

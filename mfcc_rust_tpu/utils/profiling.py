@@ -209,8 +209,13 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
         fps = sr / hop
         fac = good_factorization(n)
         if _librosa_pallas_ok(cfg):
+            from ..ops.pallas.ct_mel import (
+                _chunk_layout_ok,
+                kernel_factorization,
+            )
+
             lowering = "pallas-ct"
-            n1, n2 = fac
+            n1, n2 = kernel_factorization(cfg)
             k1max = n1 // 2  # Nyquist plane trimmed for librosa banks
             h = n2 // 2
             c2, s2, _, _, _, _ = _ct_constants(n, n1, n2)
@@ -231,7 +236,11 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
                 gemms.append((2 * n1, 4 * k1max, h - 1))  # merged pairs
                 gemms.append((2 * k1max, m, h - 1))  # pair projections
             vpu += (h + 1) * 2 * 2 * k1max  # squares + power pre-add
-            hbm = sr * 4 + 4 * m * fps  # kernel: one read, one write
+            if _chunk_layout_ok(cfg):
+                hbm = sr * 4 + 4 * m * fps  # one signal read, one mel write
+            else:
+                # frames-input layout: XLA gathers frames once (write+read)
+                hbm = sr * 4 + 2 * 4 * n * fps + 4 * m * fps
         elif _librosa_ct_ok(cfg):
             lowering = "xla-ct"
             n1, n2 = fac

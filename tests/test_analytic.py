@@ -298,3 +298,85 @@ def test_speechpy_frame_count_closed_cases():
     assert librosa_frame_count(2048 + 512, 2048, 512, center=False) == 2
     # centered: L + 2*(n//2) effective
     assert librosa_frame_count(22050, 2048, 512, center=True) == 44
+
+
+# ------------------------------------------------- published literal values --
+# These pin a handful of LITERAL vectors transcribed from citable external
+# documentation — not derived from any formula shared with the code under
+# test — closing the last oracle-independence residue (the formulas above are
+# independently tested; these check the published *values*).
+
+
+def test_librosa_mel_frequencies_docstring_values():
+    """librosa.mel_frequencies docstring example (librosa/core/convert.py,
+    also rendered at librosa.org/doc -> librosa.mel_frequencies):
+
+        >>> librosa.mel_frequencies(n_mels=40)
+        array([   0.   ,    85.317,   170.635,   255.952, ...
+
+    The full 40-value printed array (fmin=0, fmax=11025, htk=False),
+    transcribed at the docs' 3-decimal precision."""
+    published = np.array([
+        0.0, 85.317, 170.635, 255.952, 341.269, 426.586,
+        511.904, 597.221, 682.538, 767.855, 853.173, 938.49,
+        1024.856, 1119.114, 1222.042, 1334.436, 1457.167, 1591.187,
+        1737.532, 1897.337, 2071.84, 2262.393, 2470.47, 2697.686,
+        2945.799, 3216.731, 3512.582, 3835.643, 4188.417, 4573.636,
+        4994.285, 5453.621, 5955.205, 6502.92, 7101.009, 7754.107,
+        8467.272, 9246.028, 10096.408, 11025.0,
+    ])
+    got = C.mel_to_hz(
+        np.linspace(C.hz_to_mel(0.0, "slaney"), C.hz_to_mel(11025.0, "slaney"),
+                    40),
+        "slaney",
+    )
+    np.testing.assert_allclose(got, published, atol=5e-3)
+
+
+def test_librosa_hz_to_mel_docstring_values():
+    """librosa.hz_to_mel / mel_to_hz docstring examples:
+
+        >>> librosa.hz_to_mel(60)
+        0.9
+        >>> librosa.hz_to_mel([110, 220, 440])
+        array([1.65, 3.3 , 6.6 ])
+        >>> librosa.mel_to_hz(3)
+        200.
+        >>> librosa.mel_to_hz([1,2,3,4,5])
+        array([  66.667,  133.333,  200.   ,  266.667,  333.333])
+    """
+    np.testing.assert_allclose(C.hz_to_mel(60, "slaney"), 0.9, atol=1e-9)
+    np.testing.assert_allclose(
+        C.hz_to_mel(np.array([110, 220, 440]), "slaney"),
+        [1.65, 3.3, 6.6], atol=1e-9,
+    )
+    np.testing.assert_allclose(C.mel_to_hz(3, "slaney"), 200.0, atol=1e-9)
+    np.testing.assert_allclose(
+        C.mel_to_hz(np.arange(1, 6), "slaney"),
+        [66.667, 133.333, 200.0, 266.667, 333.333], atol=5e-4,
+    )
+
+
+def test_numpy_rfft_docstring_values():
+    """numpy.fft.rfft docstring example:
+
+        >>> np.fft.rfft([0, 1, 0, 0])
+        array([ 1.+0.j,  0.-1.j, -1.+0.j])
+
+    Pins our DFT matmul constants (rdft_matrices) to numpy's published
+    output, with no FFT library in the loop on our side."""
+    c, s = C.rdft_matrices(4)
+    x = np.array([0.0, 1.0, 0.0, 0.0])
+    xr = x @ c
+    xi = x @ s  # s is -sin: X = xr + 1j*xi
+    np.testing.assert_allclose(xr, [1.0, 0.0, -1.0], atol=1e-12)
+    np.testing.assert_allclose(xi, [0.0, -1.0, 0.0], atol=1e-12)
+
+
+def test_htk_published_constant_anchor():
+    """The HTK mel formula's published constant (HTK Book eq. 5.13, quoted by
+    librosa's htk=True and speechpy): mel = 2595 log10(1 + f/700).  At
+    f = 6300 Hz the argument is exactly 10, so mel = 2595 exactly — a
+    literal anchor with no arithmetic shared with the implementation."""
+    np.testing.assert_allclose(C.hz_to_mel(6300.0, "htk"), 2595.0, atol=1e-9)
+    np.testing.assert_allclose(C.mel_to_hz(2595.0, "htk"), 6300.0, atol=1e-6)
