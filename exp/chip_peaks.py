@@ -21,6 +21,9 @@ K1, K2 = 4, 20
 
 
 def slope(build, work_per_step, n_slopes=5, unit=1e12):
+    """build(k) -> zero-arg callable returning a host float.  Operands must
+    be jit ARGUMENTS, not closures — closed-over device arrays embed as
+    64 MB HLO constants and stall the remote compile helper."""
     f1 = build(K1)
     f2 = build(K2)
     float(f1()); float(f2())  # compile + warm
@@ -38,13 +41,13 @@ def gemm_chain(n, dtype, precision):
     b = jnp.asarray(rng.normal(0, 1, (n, n)) / np.sqrt(n), dtype)
 
     def build(k):
-        def step(c, _):
-            y = jnp.matmul(c, b, precision=precision)
-            return y, None
-
-        f = jax.jit(lambda: lax.scan(step, a0, None, length=k)[0][0, 0]
-                    .astype(jnp.float32))
-        return f
+        f = jax.jit(
+            lambda a0, b: lax.scan(
+                lambda c, _: (jnp.matmul(c, b, precision=precision), None),
+                a0, None, length=k,
+            )[0][0, 0].astype(jnp.float32)
+        )
+        return lambda: f(a0, b)
 
     return build
 
@@ -66,10 +69,9 @@ x0 = jnp.asarray(rng.normal(0, 1, n).astype(np.float32))
 
 
 def bw_build(k):
-    def step(c, _):
-        return c * 0.999 + 0.001, None
-
-    return jax.jit(lambda: lax.scan(step, x0, None, length=k)[0][0])
+    f = jax.jit(lambda x0: lax.scan(
+        lambda c, _: (c * 0.999 + 0.001, None), x0, None, length=k)[0][0])
+    return lambda: f(x0)
 
 
 med, spr = slope(bw_build, 2.0 * n * 4, unit=1e9)
