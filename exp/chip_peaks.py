@@ -17,7 +17,10 @@ print("devices:", jax.devices(), flush=True)
 print("device_kind:", jax.devices()[0].device_kind, flush=True)
 
 rng = np.random.default_rng(0)
-K1, K2 = 4, 20
+# NOTE: 4096-sized chains wedged the remote compile helper indefinitely
+# (two 30-min runs with zero output, no CPU progress); 2048 with longer
+# chains compiles normally and gives >= 100 ms of device work per call.
+K1, K2 = 40, 200
 
 
 def slope(build, work_per_step, n_slopes=5, unit=1e12):
@@ -52,7 +55,7 @@ def gemm_chain(n, dtype, precision):
     return build
 
 
-N = 4096
+N = 2048
 for name, dt, prec in (
     ("bf16 x bf16", jnp.bfloat16, "default"),
     ("f32 default (1-pass bf16)", jnp.float32, "default"),

@@ -89,12 +89,24 @@ def test_profiling_meter_and_costs():
     cfg = speechpy_config(16000)
     costs = pipeline_costs(cfg)
     assert costs["flops_per_audio_second"] > 1e7
+    assert costs["lowering"] == "chunk-gemm"
+    # the chunk-GEMM wall is kmax-trimmed: contraction is hop x r, width
+    # 2*kmax + 2 energy columns
+    (k0, w0, r0), *_ = costs["gemms_per_frame"]
+    assert k0 == cfg.frame_step and r0 * k0 == cfg.frame_size
     sol = speed_of_light(cfg)
     assert (
         sol["speed_of_light_audio_s_per_s"]
-        <= sol["bandwidth_bound_fused_audio_s_per_s"]
+        <= sol["bandwidth_bound_audio_s_per_s"]
     )
-    assert sol["bandwidth_bound_fused_audio_s_per_s"] > sol["bandwidth_bound_unfused_audio_s_per_s"]
+    assert (
+        sol["speed_of_light_audio_s_per_s"]
+        <= sol["compute_bound_audio_s_per_s"]
+        <= sol["compute_bound_ideal_tiles_audio_s_per_s"]
+    )
+    # precision ladder: fewer MXU passes -> higher compute bound
+    hi = speed_of_light(cfg.replace(precision="high"))
+    assert hi["compute_bound_audio_s_per_s"] > sol["compute_bound_audio_s_per_s"]
 
 
 def test_profiler_trace_smoke(tmp_path):
