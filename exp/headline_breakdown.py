@@ -29,16 +29,21 @@ from mfcc_rust_tpu.ops.dct import dct2_ortho
 from mfcc_rust_tpu.ops.spectrum import zero_handling
 
 rng = np.random.default_rng(0)
-B, T = 64, 160000
+B, T = 32, 160000
 AS = B * T / 16000.0
 K1, K2 = 2, 8
 
 
 def slopes(make_fn, n_slopes=5):
-    """n independent two-point slopes; returns (median audio-s/s, rel spread)."""
+    """n independent two-point slopes; returns (median audio-s/s, rel spread).
+    Inputs are generated ON DEVICE (jax.random) — multi-GB host->device
+    transfers through the tunnel dwarf the measurement itself."""
 
     def build(k):
-        xs = jnp.asarray(rng.normal(0, 0.1, (k, B, T)).astype(np.float32))
+        gen = jax.jit(lambda key: 0.1 * jax.random.normal(
+            key, (k, B, T), jnp.float32))
+        xs = gen(jax.random.PRNGKey(k))
+        jax.block_until_ready(xs)
         fn = jax.jit(lambda xs: lax.scan(
             lambda c, x: (c + make_fn(x), None), jnp.float32(0), xs)[0])
         float(fn(xs))
@@ -149,8 +154,12 @@ M = B * n_frames
 
 
 def raw_gemm(m, k, nn, precision, steps=8):
-    xs = jnp.asarray(rng.normal(0, 1, (steps, m, k)).astype(np.float32))
-    w = jnp.asarray(rng.normal(0, 1, (k, nn)).astype(np.float32))
+    xs = jax.jit(lambda key: jax.random.normal(key, (steps, m, k),
+                                               jnp.float32))(
+        jax.random.PRNGKey(steps + k))
+    w = jax.jit(lambda key: jax.random.normal(key, (k, nn), jnp.float32))(
+        jax.random.PRNGKey(nn))
+    jax.block_until_ready((xs, w))
     f = jax.jit(lambda xs: lax.scan(
         lambda c, a: (c + jnp.matmul(a, w, precision=precision)[0, 0], None),
         jnp.float32(0), xs)[0])
