@@ -25,38 +25,49 @@ TARGET = 50_000.0  # north-star audio-seconds/s/chip (BASELINE.json)
 
 
 def _slope_timer(make_fn, make_xs, audio_seconds_per_batch, k1=4, k2=12,
-                 n_slopes=5):
-    """True device seconds per batch: two-point slope over scan length
-    cancels the fixed per-call dispatch latency of the remote TPU tunnel.
+                 n_slopes=5, target_ms=250.0):
+    """True device seconds per batch: two-point slope over the rep count of a
+    dynamic-trip-count ``fori_loop`` cancels the fixed per-call dispatch
+    latency of the remote TPU tunnel.
 
-    ``n_slopes`` independent (k1, k2) timing pairs -> median slope + relative
-    spread (max-min over median), so 1.2-2x comparisons across artifacts are
-    interpretable (single best-of-N slopes disagreed at the +-30% level in
-    round 2).  Returns (median audio-s/s, rel_spread)."""
+    The rep counts are *calibrated* so the differential compute is
+    ~``target_ms`` — round 2's fixed 8-iteration differential (~10 ms) was
+    below the tunnel's jitter and produced +-30% artifact disagreements
+    (exp/headline_breakdown_r03_results.txt: same harness at 6 iterations
+    gave negative TFLOP/s and 22,000% spreads; at ~250 ms differential the
+    spreads are 1.5-8%).  ``n_slopes`` independent slopes -> median +
+    relative spread (max-min over median).  ``k1``/``k2`` are accepted for
+    call-site compatibility; only max(k2, 4) seeds the input cycle length.
+
+    Returns (median audio-s/s, rel_spread)."""
     import jax
     from jax import lax
 
-    def build(k):
-        xs = make_xs(k)
-        fn = jax.jit(
-            lambda xs: lax.scan(
-                lambda c, x: (c + make_fn(x), None), np.float32(0), xs
-            )[0]
-        )
-        float(fn(xs))  # compile + warm
-        return fn, xs
+    nx = 4
+    xs = make_xs(nx)
+    jax.block_until_ready(xs)
 
-    f1, x1 = build(k1)
-    f2, x2 = build(k2)
+    @jax.jit
+    def run(xs, reps):
+        def body(i, c):
+            return c + make_fn(lax.dynamic_index_in_dim(xs, i % nx,
+                                                        keepdims=False))
+        return lax.fori_loop(0, reps, body, np.float32(0.0))
+
+    float(run(xs, 4))  # compile + warm (host scalar read == hard barrier)
+
+    def timed(reps):
+        t0 = time.perf_counter()
+        float(run(xs, reps))
+        return time.perf_counter() - t0
+
+    per = timed(16) / 16
+    r2 = max(48, int(target_ms / 1e3 / per))
+    r1 = max(8, r2 // 5)
     vals = []
     for _ in range(n_slopes):
-        t0 = time.perf_counter()
-        float(f1(x1))  # host scalar read == hard completion barrier
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(f2(x2))
-        tb = time.perf_counter() - t0
-        vals.append(audio_seconds_per_batch / ((tb - ta) / (k2 - k1)))
+        vals.append(audio_seconds_per_batch
+                    / ((timed(r2) - timed(r1)) / (r2 - r1)))
     vals.sort()
     med = vals[len(vals) // 2]
     return med, (vals[-1] - vals[0]) / med
@@ -69,7 +80,7 @@ def _sol(cfg, feature):
     from mfcc_rust_tpu.utils.profiling import speed_of_light
 
     try:
-        return speed_of_light(cfg, feature)["speed_of_light_audio_s_per_s"]
+        return speed_of_light(cfg, feature)
     except Exception:
         return None
 
@@ -84,8 +95,13 @@ def _emit(metric, value, spread=None, sol=None):
     if spread is not None:
         rec["rel_spread"] = round(spread, 4)
     if sol is not None:
-        rec["sol_fraction"] = round(value / sol, 4)
-        rec["speed_of_light"] = round(sol, 1)
+        s = sol["speed_of_light_audio_s_per_s"]
+        rec["sol_fraction"] = round(value / s, 4)
+        rec["speed_of_light"] = round(s, 1)
+        # tile-quantized best-estimate (not a bound — see utils/profiling)
+        e = sol.get("expected_audio_s_per_s")
+        if e:
+            rec["expected_fraction"] = round(value / e, 4)
     print(json.dumps(rec))
 
 

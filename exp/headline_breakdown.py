@@ -1,7 +1,7 @@
 """Where does the headline MFCC's time go?  (VERDICT r2 weak #1)
 
 Stage-by-stage on-chip timing of the speechpy MFCC-13 fast path at the
-headline shape (64 x 10 s @ 16 kHz), plus GEMM-shape experiments:
+headline shape (32 x 10 s @ 16 kHz), plus GEMM-shape experiments:
 
   A. chunk-GEMM only (the r=2 shifted K=160 dots)
   B. fused-chunk variant: ONE K=320 dot over concat(ch[:-1], ch[1:])
@@ -11,8 +11,10 @@ headline shape (64 x 10 s @ 16 kHz), plus GEMM-shape experiments:
   F. full mfcc with the fused-chunk GEMM
   G. raw GEMM rate at the exact headline shapes, per precision
 
-Each number is the median of 5 independent two-point slopes with the
-rel spread, so 1.2-2x questions are answerable (VERDICT r2 weak #2).
+Measurement: ONE jitted fori_loop with a *dynamic* rep count (single
+compile), timed at two rep counts chosen so the differential compute is
+~250 ms — the earlier 6-iteration two-point slope was 100% tunnel jitter
+(negative TFLOP/s, 22,000% spreads).  Median of 5 slopes + rel spread.
 """
 import time
 
@@ -31,35 +33,42 @@ from mfcc_rust_tpu.ops.spectrum import zero_handling
 rng = np.random.default_rng(0)
 B, T = 32, 160000
 AS = B * T / 16000.0
-K1, K2 = 2, 8
+NX = 4  # distinct inputs cycled through the loop
 
 
-def slopes(make_fn, n_slopes=5):
-    """n independent two-point slopes; returns (median audio-s/s, rel spread).
-    Inputs are generated ON DEVICE (jax.random) — multi-GB host->device
-    transfers through the tunnel dwarf the measurement itself."""
+def measure(make_fn, shape=(B, T), work_per_iter=None, target_ms=250.0,
+            n_slopes=5):
+    """Median of n two-point slopes of a dynamic-rep fori_loop.
 
-    def build(k):
-        gen = jax.jit(lambda key: 0.1 * jax.random.normal(
-            key, (k, B, T), jnp.float32))
-        xs = gen(jax.random.PRNGKey(k))
-        jax.block_until_ready(xs)
-        fn = jax.jit(lambda xs: lax.scan(
-            lambda c, x: (c + make_fn(x), None), jnp.float32(0), xs)[0])
-        float(fn(xs))
-        return fn, xs
+    Returns (seconds per iteration, rel spread).  Inputs are generated ON
+    DEVICE (host->device transfers through the tunnel dwarf the signal)."""
+    xs = jax.jit(lambda key: 0.1 * jax.random.normal(
+        key, (NX,) + shape, jnp.float32))(jax.random.PRNGKey(7))
+    jax.block_until_ready(xs)
 
-    f1, x1 = build(K1)
-    f2, x2 = build(K2)
+    @jax.jit
+    def run(xs, reps):
+        def body(i, c):
+            return c + make_fn(lax.dynamic_index_in_dim(
+                xs, i % NX, keepdims=False))
+        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(run(xs, 4))  # compile + warm
+
+    def timed(reps):
+        t0 = time.perf_counter()
+        float(run(xs, reps))
+        return time.perf_counter() - t0
+
+    per = timed(32) / 32
+    r2 = max(64, int(target_ms / 1e3 / per))
+    r1 = max(8, r2 // 5)
     vals = []
     for _ in range(n_slopes):
-        t0 = time.perf_counter(); float(f1(x1)); ta = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(f2(x2)); tb = time.perf_counter() - t0
-        vals.append(AS / ((tb - ta) / (K2 - K1)))
-    vals = sorted(vals)
+        vals.append((timed(r2) - timed(r1)) / (r2 - r1))
+    vals.sort()
     med = vals[len(vals) // 2]
-    spread = (vals[-1] - vals[0]) / med
-    return med, spread
+    return med, (vals[-1] - vals[0]) / med
 
 
 cfg = FeatureConfig(sample_rate=16000)
@@ -88,14 +97,14 @@ def fused_chunk_gemm(signal, wall_np, n_frames, hop):
     return ch, jnp.matmul(big, wj, precision=cfg.precision)
 
 
-def stage_a(x):  # chunk-GEMM only
+def stage_a(x):  # chunk-GEMM only  (square before sum: a plain sum(dot)
     _, y = _chunk_gemm(x, wall, n_frames, hop, cfg.precision)
-    return y.sum()
+    return (y * y).sum()  # is algebraically reducible and could elide the GEMM)
 
 
 def stage_b(x):  # fused single-GEMM variant
     _, y = fused_chunk_gemm(x, wall, n_frames, hop)
-    return y.sum()
+    return (y * y).sum()
 
 
 fb2 = _stacked_fb(bundle["fbank"], kmax, wall.shape[1], 1.0 / n)
@@ -138,49 +147,29 @@ for name, fn in (
     ("E full mfcc", stage_e),
     ("F full mfcc, fused GEMM", stage_f),
 ):
-    med, spr = slopes(fn)
-    print(f"{name:32s}: {med/1e3:8.1f}k audio-s/s  (spread {spr:.1%})",
-          flush=True)
+    per, spr = measure(fn)
+    print(f"{name:32s}: {AS/per/1e3:8.1f}k audio-s/s  ({per*1e3:7.3f} ms/iter,"
+          f" spread {spr:.1%})", flush=True)
 
 # precision ladder on the full pipeline
 for prec in ("high", "default"):
     c2 = cfg.replace(precision=prec)
-    med, spr = slopes(lambda x, c=c2: features.mfcc(x, c).sum())
-    print(f"E full mfcc precision={prec:8s}: {med/1e3:8.1f}k audio-s/s  "
-          f"(spread {spr:.1%})", flush=True)
+    per, spr = measure(lambda x, c=c2: features.mfcc(x, c).sum())
+    print(f"E full mfcc precision={prec:8s}: {AS/per/1e3:8.1f}k audio-s/s  "
+          f"({per*1e3:7.3f} ms/iter, spread {spr:.1%})", flush=True)
 
 # G: raw GEMM rates at the exact pipeline shapes (M = B*frames)
 M = B * n_frames
-
-
-def raw_gemm(m, k, nn, precision, steps=8):
-    xs = jax.jit(lambda key: jax.random.normal(key, (steps, m, k),
-                                               jnp.float32))(
-        jax.random.PRNGKey(steps + k))
-    w = jax.jit(lambda key: jax.random.normal(key, (k, nn), jnp.float32))(
-        jax.random.PRNGKey(nn))
-    jax.block_until_ready((xs, w))
-    f = jax.jit(lambda xs: lax.scan(
-        lambda c, a: (c + jnp.matmul(a, w, precision=precision)[0, 0], None),
-        jnp.float32(0), xs)[0])
-    f1 = jax.jit(lambda xs: lax.scan(
-        lambda c, a: (c + jnp.matmul(a, w, precision=precision)[0, 0], None),
-        jnp.float32(0), xs[:1])[0])
-
-    def bt(fn, x):
-        float(fn(x))
-        b = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter(); float(fn(x)); b = min(b, time.perf_counter() - t0)
-        return b
-
-    per = (bt(f, xs) - bt(f1, xs)) / (steps - 1)
-    return 2.0 * m * k * nn / per / 1e12
-
-
 for k, nn in ((160, 516), (320, 516), (320, 512), (320, 640), (516, 40),
               (516, 128)):
+    w = jax.jit(lambda key, k=k, nn=nn: jax.random.normal(
+        key, (k, nn), jnp.float32))(jax.random.PRNGKey(nn))
+    jax.block_until_ready(w)
     for prec in ("highest", "high"):
-        r_ = raw_gemm(M, k, nn, prec)
+        per, spr = measure(
+            lambda a, w=w, prec=prec: jnp.square(jnp.matmul(
+                a, w, precision=prec)).mean(),
+            shape=(M, k))
+        tf = 2.0 * M * k * nn / per / 1e12
         print(f"G raw GEMM ({M}, {k})@({k}, {nn}) prec={prec:7s}: "
-              f"{r_:7.2f} TFLOP/s", flush=True)
+              f"{tf:7.2f} TFLOP/s  (spread {spr:.1%})", flush=True)

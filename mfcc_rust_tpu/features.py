@@ -48,8 +48,21 @@ def _speechpy_frames(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 # ------------------------------------------------------- fast chunked path --
 def _chunk_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int, precision):
     """frames @ wall without materializing frames: hop-chunk the signal and
-    accumulate r shifted chunk-GEMMs against wall's hop-row blocks
-    (wall: (r*hop, D) numpy).  Returns (chunks, result (..., n_frames, D))."""
+    contract against the (r*hop, D) wall.  Returns
+    (chunks, result (..., n_frames, D)).
+
+    Two lowerings, picked by MXU K-tile alignment (measured on v5e,
+    exp/headline_breakdown_r03_results.txt):
+
+    * ``hop % 128 != 0`` (speechpy 20ms/10ms -> hop 160): ONE K=r*hop dot
+      over materialized overlapping [chunk_f | chunk_{f+1} | ...] rows.
+      Costs (r-1)x extra signal bytes but replaces r dots whose K=hop pads
+      128-up badly (160 -> 256, 62% util) with one K=320 dot (-> 384, 83%);
+      +16% on the headline MFCC end-to-end (0.462 -> 0.397 ms).
+    * aligned hops (vorbis/librosa, hop 512): r shifted K=hop dots — already
+      tile-exact, and the fused form would materialize r x signal bytes for
+      no MXU win.
+    """
     r = wall.shape[0] // hop
     wj = jnp.asarray(wall, signal.dtype)
     need = (n_frames + r - 1) * hop
@@ -57,6 +70,11 @@ def _chunk_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int, precision):
         pad = [(0, 0)] * (signal.ndim - 1) + [(0, need - signal.shape[-1])]
         signal = jnp.pad(signal, pad)
     ch = signal[..., :need].reshape(signal.shape[:-1] + (n_frames + r - 1, hop))
+    if r > 1 and hop % 128 != 0:
+        big = jnp.concatenate(
+            [ch[..., s : s + n_frames, :] for s in range(r)], axis=-1
+        )
+        return ch, jnp.matmul(big, wj, precision=precision)
     y = None
     for s in range(r):
         part = jnp.matmul(

@@ -156,7 +156,13 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             w = wd["wall"].shape[1]
             kmax = wd["kmax"]
             lowering = "chunk-gemm"
-            gemms.append((hop, w, wd["r"]))  # the r shifted DFT dots
+            if wd["r"] > 1 and hop % 128 != 0:
+                # fused one-GEMM layout (features._chunk_gemm dispatch rule):
+                # ONE K=r*hop dot over materialized overlapping chunk rows
+                lowering = "chunk-gemm-fused"
+                gemms.append((wd["r"] * hop, w, 1))
+            else:
+                gemms.append((hop, w, wd["r"]))  # the r shifted DFT dots
             vpu += w  # y * y
             if feature == "ssc":
                 gemms.append((kmax, 2 * m, 1))  # ramp-folded dual projection
@@ -182,6 +188,9 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             gemms[0][1]
         )
         inter = 2 * 4 * (y_w + m) * fps  # y and mel, read+write each
+        # (the fused layout's overlapping chunk-row operand adds NO separate
+        # materialization pass: measured bf16 throughput exceeds the bound
+        # that charged write+read for it — exp/headline_breakdown_r03)
         out_d = c if feature == "mfcc" else (1 if feature == "energy" else m)
         hbm = sig_bytes + inter + 4 * out_d * fps
 
@@ -289,16 +298,23 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
 def speed_of_light(cfg: FeatureConfig, feature: str = "mfcc",
                    device_kind: str = None, spec: dict = None) -> dict:
     """Audio-seconds/s upper bound for the lowering that actually dispatches:
-    max of (tile-quantized MXU time at the config's precision pass count,
-    VPU time, HBM stream time), assuming perfect overlap — an optimistic
-    bound a real run cannot exceed.  ``sol_fraction = measured / sol`` is the
-    honest %-of-light figure (VERDICT r2 missing #2)."""
+    max of (MXU time at the config's precision pass count, VPU time, HBM
+    stream time), assuming perfect overlap — an optimistic bound a real run
+    cannot exceed.  ``sol_fraction = measured / sol`` is the honest
+    %-of-light figure (VERDICT r2 missing #2).
+
+    The *bound* charges ideal (un-quantized) MXU FLOPs: measured headline
+    throughput sits ~5% ABOVE the ceil-to-128-tiles figure (the compiler's
+    padding penalty is milder than ceil/128 on both axes,
+    exp/headline_breakdown_r03_results.txt), so tile-quantized time is
+    reported separately as ``expected_audio_s_per_s`` — a best-estimate of
+    the achievable rate, not a bound."""
     costs = pipeline_costs(cfg, feature)
     spec = chip_spec(device_kind) if spec is None else spec
     passes = PRECISION_PASSES.get(getattr(cfg, "precision", "highest"), 6)
     mxu_peak = spec["bf16_tflops"] * 1e12 / passes
-    t_mxu = costs["mxu_flops_per_audio_second_tile_quantized"] / mxu_peak
-    t_mxu_ideal = costs["mxu_flops_per_audio_second"] / mxu_peak
+    t_mxu_q = costs["mxu_flops_per_audio_second_tile_quantized"] / mxu_peak
+    t_mxu = costs["mxu_flops_per_audio_second"] / mxu_peak
     t_vpu = costs["vpu_flops_per_audio_second"] / (spec["vpu_tflops"] * 1e12)
     t_hbm = costs["hbm_bytes_per_audio_second"] / (spec["hbm_gbs"] * 1e9)
     sol = 1.0 / max(t_mxu, t_vpu, t_hbm)
@@ -307,10 +323,11 @@ def speed_of_light(cfg: FeatureConfig, feature: str = "mfcc",
         "chip": spec.get("chip", "?"),
         "precision_passes": passes,
         "compute_bound_audio_s_per_s": 1.0 / t_mxu if t_mxu else float("inf"),
-        "compute_bound_ideal_tiles_audio_s_per_s": (
-            1.0 / t_mxu_ideal if t_mxu_ideal else float("inf")
+        "compute_bound_tile_quantized_audio_s_per_s": (
+            1.0 / t_mxu_q if t_mxu_q else float("inf")
         ),
         "vpu_bound_audio_s_per_s": 1.0 / t_vpu if t_vpu else float("inf"),
         "bandwidth_bound_audio_s_per_s": 1.0 / t_hbm if t_hbm else float("inf"),
         "speed_of_light_audio_s_per_s": sol,
+        "expected_audio_s_per_s": 1.0 / max(t_mxu_q, t_vpu, t_hbm),
     }

@@ -258,11 +258,12 @@ class TestExtractMultiFeature:
                                    rtol=1e-12)
         np.testing.assert_allclose(np.asarray(out["ssc"]),
                                    np.asarray(F.ssc(sig, cfg)), rtol=1e-9)
-        # jittable with the which tuple static
+        # jittable with the which tuple static (1e-11: jit fusion may block
+        # the fused chunk-GEMM's f64 concat operand differently from eager)
         jit_out = jax.jit(F.extract, static_argnums=(1, 2))(sig, cfg,
                                                             ("mfcc", "ssc"))
         np.testing.assert_allclose(np.asarray(jit_out["mfcc"]),
-                                   np.asarray(out["mfcc"]), rtol=1e-12)
+                                   np.asarray(out["mfcc"]), rtol=1e-11)
 
     def test_fallback_path(self, rng):
         """Non-fast-path config (odd fft) goes through the per-feature

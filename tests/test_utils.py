@@ -89,20 +89,24 @@ def test_profiling_meter_and_costs():
     cfg = speechpy_config(16000)
     costs = pipeline_costs(cfg)
     assert costs["flops_per_audio_second"] > 1e7
-    assert costs["lowering"] == "chunk-gemm"
-    # the chunk-GEMM wall is kmax-trimmed: contraction is hop x r, width
-    # 2*kmax + 2 energy columns
+    # hop 160 is MXU K-misaligned -> the fused one-GEMM layout dispatches:
+    # ONE contraction over the whole frame, width 2*kmax + 2 energy columns
+    assert costs["lowering"] == "chunk-gemm-fused"
     (k0, w0, r0), *_ = costs["gemms_per_frame"]
-    assert k0 == cfg.frame_step and r0 * k0 == cfg.frame_size
+    assert k0 == cfg.frame_size and r0 == 1
     sol = speed_of_light(cfg)
     assert (
         sol["speed_of_light_audio_s_per_s"]
         <= sol["bandwidth_bound_audio_s_per_s"]
     )
     assert (
-        sol["speed_of_light_audio_s_per_s"]
+        sol["expected_audio_s_per_s"]
+        <= sol["speed_of_light_audio_s_per_s"]
         <= sol["compute_bound_audio_s_per_s"]
-        <= sol["compute_bound_ideal_tiles_audio_s_per_s"]
+    )
+    assert (
+        sol["compute_bound_tile_quantized_audio_s_per_s"]
+        <= sol["compute_bound_audio_s_per_s"]
     )
     # precision ladder: fewer MXU passes -> higher compute bound
     hi = speed_of_light(cfg.replace(precision="high"))
