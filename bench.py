@@ -172,20 +172,20 @@ def suite():
     _emit("audio_seconds_per_sec_per_chip (vorbis mel_spectrogram)", v,
           spread=s, sol=_sol(vcfg, "melspec"))
 
-    # librosa fast mode: precision="high" (3-pass MXU; max-rel ~1e-4 vs the
-    # f64 oracle, measured on v5e — see exp/ct_shootout.py)
+    # strict mode A/B: precision="highest" (6-pass f32; the default is
+    # "high" — measured error budget in exp/precision_parity_r03_results.txt)
     import dataclasses
 
-    lcfg_hi = dataclasses.replace(lcfg, precision="high")
+    lcfg_strict = dataclasses.replace(lcfg, precision="highest")
     v, s = _slope_timer(
-        lambda x: features.mel_spectrogram_librosa(x, lcfg_hi).sum(),
+        lambda x: features.mel_spectrogram_librosa(x, lcfg_strict).sum(),
         lambda k: jnp.asarray(
             rng.normal(0, 0.1, (k, b2, t2)).astype(np.float32)
         ),
         b2 * 10.0,
     )
-    _emit("audio_seconds_per_sec_per_chip (librosa mel, precision=high "
-          "fast mode)", v, spread=s, sol=_sol(lcfg_hi, "mel_librosa"))
+    _emit("audio_seconds_per_sec_per_chip (librosa mel, precision=highest "
+          "strict mode)", v, spread=s, sol=_sol(lcfg_strict, "mel_librosa"))
 
     # 16 kHz production frontend (n_fft 512, hop 160 — Whisper-style): rides
     # the frames-input Pallas CT layout (hop does not divide into N1 lanes)
@@ -225,18 +225,18 @@ def suite():
     _emit("audio_seconds_per_sec_per_chip (librosa mfcc 20)", v, spread=s,
           sol=_sol(lcfg, "mfcc_librosa"))
 
-    # production fast mode: precision=high (3-pass MXU, ~1e-4 rel accuracy)
-    cfg_hi = FeatureConfig(sample_rate=16000, precision="high")
+    # strict mode A/B: precision=highest (6-pass full f32; default is high)
+    cfg_strict = FeatureConfig(sample_rate=16000, precision="highest")
     bh, th = 64, 160000
     v, s = _slope_timer(
-        lambda x: features.mfcc(x, cfg_hi).sum(),
+        lambda x: features.mfcc(x, cfg_strict).sum(),
         lambda k: jnp.asarray(
             rng.normal(0, 0.1, (k, bh, th)).astype(np.float32)
         ),
         bh * 10.0,
     )
-    _emit("audio_seconds_per_sec_per_chip (MFCC-13, precision=high fast "
-          "mode)", v, spread=s, sol=_sol(cfg_hi, "mfcc"))
+    _emit("audio_seconds_per_sec_per_chip (MFCC-13, precision=highest "
+          "strict mode)", v, spread=s, sol=_sol(cfg_strict, "mfcc"))
 
     # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded
     # batch, via the single-frontend-pass multi-feature API
@@ -353,11 +353,13 @@ def corpus(n_files: int = 192, seed: int = 0):
             total_audio += len(clip) / 16000.0
 
         def run(out_dir):
-            # H2D bytes are the measured bottleneck through this image's
-            # remote tunnel (~15-35 MB/s effective): the runner ships packed
-            # unpadded int16 PCM and rebuilds the padded f32 batch on device
-            # (parallel/data.py pack_signals), ~3.2x fewer bytes than the
-            # padded-f32 layout.  fetch_every stays 1 — see exp/corpus_ab.py.
+            # Tunnel bytes both ways are the measured bottleneck: the runner
+            # ships packed unpadded int16 PCM up (pack_signals, ~3.2x fewer
+            # bytes than padded f32) and packed valid-frame f32 buffers down
+            # (packed_output default, no batch padding / mask plane — the
+            # D2H link is ~5x slower than H2D on this image's tunnel,
+            # exp/d2h_profile.py).  fetch_every stays 1 — see
+            # exp/corpus_ab.py.
             r = CorpusRunner(paths, cfg, mesh, batch_size=128,
                              out_dir=out_dir, n_io_threads=8)
             t0 = time.perf_counter()
@@ -390,11 +392,15 @@ def corpus(n_files: int = 192, seed: int = 0):
             "scopes": {k: round(v, 3) for k, v in meter.scopes.items()},
         }))
 
-        # Link roofline: the packed path ships 2 bytes/sample (int16), so
-        # the wire ceiling is link_bytes_per_s / (2 * sample_rate).  Measure
-        # the link at corpus-batch size with the SAME transfer the runner
-        # issues (device_put of a flat int16 buffer + a scalar readback as
-        # the completion barrier).
+        # Link roofline, both directions.  The packed input path ships
+        # 2 bytes/sample (int16) H2D; the packed OUTPUT path ships
+        # 4*ceil(100/s)*n_cepstral bytes/audio-s D2H (valid frames only).
+        # Measure each direction with the SAME transfer the runner issues
+        # (device_put of a flat int16 buffer / np.asarray of a fresh f32
+        # device buffer), then combine: the two directions do NOT overlap
+        # on this image's tunnel (exp/d2h_profile.py), so the ceiling is
+        # serial: 1 / (h2d_bytes_per_audio_s/h2d_bps +
+        #              d2h_bytes_per_audio_s/d2h_bps).
         import jax
         import jax.numpy as jnp
 
@@ -406,13 +412,31 @@ def corpus(n_files: int = 192, seed: int = 0):
             dev = jax.device_put(buf)
             float(jnp.sum(dev[:1].astype(jnp.float32)))
             best = min(best, time.perf_counter() - t0)
-        link_bps = nbytes / best
-        wire_bound = link_bps / (2.0 * cfg.sample_rate)
+        h2d_bps = nbytes / best
+
+        # D2H at output-fetch size: fresh device buffers (a repeated
+        # np.asarray of the same array reads a host-side cache)
+        dn = 8 * 1024 * 1024
+        d2h_best = float("inf")
+        for i in range(5):
+            dev = jax.device_put(np.full(dn // 4, float(i), np.float32))
+            jax.block_until_ready(dev)
+            t0 = time.perf_counter()
+            np.asarray(dev)
+            d2h_best = min(d2h_best, time.perf_counter() - t0)
+        d2h_bps = dn / d2h_best
+
+        frames_per_s = cfg.sample_rate / cfg.frame_step
+        h2d_bytes = 2.0 * cfg.sample_rate  # packed int16 samples
+        d2h_bytes = 4.0 * frames_per_s * cfg.num_cepstral  # packed f32 frames
+        wire_bound = 1.0 / (h2d_bytes / h2d_bps + d2h_bytes / d2h_bps)
         print(json.dumps({
-            "metric": "corpus H2D link (measured, MB/s) and wire-ceiling "
-                      "audio_s/s for packed int16",
-            "value": round(link_bps / 1e6, 1), "unit": "MB/s",
+            "metric": "corpus link (measured MB/s H2D/D2H) and two-way "
+                      "wire-ceiling audio_s/s for packed int16 in, packed "
+                      "f32 frames out",
+            "value": round(h2d_bps / 1e6, 1), "unit": "MB/s",
             "vs_baseline": 0.0,
+            "d2h_mb_per_s": round(d2h_bps / 1e6, 1),
             "wire_bound_audio_s_per_s": round(wire_bound, 1),
         }))
         print(json.dumps({

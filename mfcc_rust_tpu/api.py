@@ -37,7 +37,7 @@ def _speechpy_cfg(
     low_frequency=0,
     high_frequency=None,
     dc_elimination=True,
-    precision="highest",
+    precision="high",
     dtype="float32",
 ) -> FeatureConfig:
     return FeatureConfig(
@@ -83,7 +83,7 @@ def _frames_nopad(cfg: FeatureConfig, true_len: int) -> int:
 def mfcc(signal, sampling_frequency, frame_length=0.020, frame_stride=0.01,
          num_cepstral=13, num_filters=40, fft_length=512, low_frequency=0,
          high_frequency=None, dc_elimination=True, bucket=True,
-         precision="highest", dtype="float32"):
+         precision="high", dtype="float32"):
     """MFCC features, (..., num_frames, num_cepstral) — signature parity with
     py-speechsauce/speechsauce/__init__.py:37-83 (plus keyword-only extras
     ``precision``/``dtype``)."""
@@ -134,7 +134,7 @@ def ssc(signal, sampling_frequency, frame_length=0.020, frame_stride=0.01,
 def extract(signal, sampling_frequency, which=("mfcc",), frame_length=0.020,
             frame_stride=0.01, num_cepstral=13, num_filters=40,
             fft_length=512, low_frequency=0, high_frequency=None,
-            dc_elimination=True, bucket=True, precision="highest",
+            dc_elimination=True, bucket=True, precision="high",
             dtype="float32"):
     """Several speechpy-family features from ONE shared frontend pass.
 

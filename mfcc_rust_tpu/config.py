@@ -62,10 +62,17 @@ class FeatureConfig:
     # against precomputed cos/-sin matrices (window folded in); "fft" uses
     # XLA's native rfft; "auto" picks matmul for fft_points <= 1024 on TPU.
     fft_impl: str = "auto"
-    # MXU precision for all pipeline GEMMs: "highest" = full f32 (6-pass,
-    # golden-parity default), "high" = 3-pass (~1e-4 rel, ~1.25x faster),
-    # "default" = bf16 multiplies (~1e-2 rel, fastest).
-    precision: str = "highest"
+    # MXU precision for all pipeline GEMMs.  Measured MFCC-13 error vs the
+    # float64 oracle on speech-shaped PCM16 audio (exp/
+    # precision_parity_r03_results.txt): "highest" (full f32, 6-pass)
+    # max-abs 1.3e-4 — the f32 pipeline's own floor; "high" (bf16x3,
+    # 3-pass) 2.6e-4 at ~1.57x the throughput; "default" (single bf16)
+    # 1.5e-1.  "high" is the default: it adds at most one bit of error to
+    # the f32 floor and the MXU runs near its 3-pass peak.  Pass "highest"
+    # for strict f32 reproducibility; float64 golden-parity runs are on CPU
+    # where all three lower to full-precision f64/f32 ops.  Frame energies
+    # are pinned HIGHEST regardless (features._parseval_energies).
+    precision: str = "high"
     # Fused Pallas kernel dispatch for the librosa CT mel path:
     # "auto" = use the kernel on the TPU backend when the config qualifies
     # (ops/pallas/ct_mel.py; ~2.3x the XLA CT path, numerics ~1e-6 rel),

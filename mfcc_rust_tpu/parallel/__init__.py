@@ -3,6 +3,7 @@ from .data import (  # noqa: F401
     extraction_step,
     extraction_step_packed,
     fetch_outputs,
+    frame_counts_host,
     pack_signals,
     unpack_resample,
 )

@@ -268,9 +268,8 @@ def _local_packed_multi(flat, offsets, lengths, cfg, features, t_local):
     return _local_multi(signals, lengths, cfg, features)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, feature,
-                                 mesh):
+def _packed_mapped(flat, offsets, lengths, t, cfg, feature, mesh):
+    """Shared shard_map dispatch for the packed-input extraction step."""
     t_local = t // mesh.shape[SEQ_AXIS]
     multi = isinstance(feature, tuple)
     if multi:
@@ -295,6 +294,96 @@ def _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, feature,
         out_specs=out_specs,
     )
     return mapped(flat, offsets, lengths)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, feature,
+                                 mesh):
+    return _packed_mapped(flat, offsets, lengths, t, cfg, feature, mesh)
+
+
+def frame_counts_host(lengths, cfg: FeatureConfig, feature) -> "np.ndarray":
+    """Host mirror of the device frame-validity mask's per-row counts
+    (``_local_features``/``_local_melspec``): the number of valid output
+    frames for each true sample count, in exact integer arithmetic.
+
+    The device computes ``floor((L - frame_size) / hop)`` (framed family) /
+    ``ceil(L / hop)`` (melspec) on float32 lengths; for any realizable clip
+    (L exactly f32-representable, quotient <= 2^20) the f32 rounding error is
+    far below the 1/hop distance to the nearest integer boundary, so the
+    integer form here matches bitwise."""
+    import numpy as np
+
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if feature == "melspec":
+        return np.maximum(-(-lengths // cfg.stream_hop), 0)
+    return np.maximum((lengths - cfg.frame_size) // cfg.frame_step, 0)
+
+
+def _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature, n_pk):
+    """Global-view epilogue: gather every VALID frame row of the padded
+    (B, F, ...) feature leaves into dense (n_pk, ...) buffers, in
+    (row-major, frame-major) corpus order.  Device->host transfers then
+    carry only true frames — no batch padding, no mask plane (the host
+    derives per-row counts with :func:`frame_counts_host`).
+
+    ``frame_offsets`` is the exclusive cumsum of the per-row valid-frame
+    counts (host-computed); rows past the true batch (and zero-frame rows)
+    occupy no packed positions."""
+    multi = isinstance(feature, tuple)
+    any_leaf = jax.tree.leaves(feats)[0]
+    B, F = any_leaf.shape[0], any_leaf.shape[1]
+    hop = cfg.stream_hop if feature == "melspec" else cfg.frame_step
+    if feature == "melspec":
+        nv = jnp.ceil(lengths / hop).astype(jnp.int32)
+    else:
+        nv = jnp.floor((lengths - cfg.frame_size) / hop).astype(jnp.int32)
+    nv = jnp.clip(nv, 0, F)
+    p = jnp.arange(n_pk, dtype=jnp.int32)
+    # row containing packed position p: zero-frame rows share their offset
+    # with the next row, and side="right" lands on the LAST row with
+    # offset <= p — the one whose frames actually start there
+    row = jnp.clip(
+        jnp.searchsorted(frame_offsets, p, side="right").astype(jnp.int32) - 1,
+        0, B - 1,
+    )
+    f = p - frame_offsets[row]
+    valid = (f >= 0) & (f < nv[row])
+    flat_idx = row * F + jnp.clip(f, 0, F - 1)
+
+    def pk(leaf):
+        g = jnp.take(leaf.reshape((B * F,) + leaf.shape[2:]), flat_idx,
+                     axis=0)
+        v = valid.reshape((n_pk,) + (1,) * (g.ndim - 1))
+        return jnp.where(v, g, jnp.zeros((), g.dtype))
+
+    del multi
+    return jax.tree.map(pk, feats)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _extraction_step_packed_out_impl(flat, offsets, lengths, frame_offsets,
+                                     t, n_pk, cfg, feature, mesh):
+    feats, _, moments = _packed_mapped(flat, offsets, lengths, t, cfg,
+                                       feature, mesh)
+    return _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature,
+                            n_pk), moments
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _extraction_step_out_impl(signals, lengths, frame_offsets, n_pk, cfg,
+                              feature, mesh):
+    multi = isinstance(feature, tuple)
+    if multi:
+        feats, _, moments = _extraction_step_multi_impl(
+            signals, lengths, cfg, feature, mesh
+        )
+    else:
+        feats, _, moments = _extraction_step_impl(
+            signals, lengths, cfg, feature, mesh
+        )
+    return _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature,
+                            n_pk), moments
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -393,12 +482,34 @@ def pack_signals(clips, b_pad: int, mesh: Mesh, flat_align: int = 2048,
     return flat, offsets, lengths
 
 
+def _frame_pack_args(frame_counts, mesh, pack_align: int = 512):
+    """(exclusive-cumsum offsets replicated on device, static bucketed packed
+    row count) for the packed-output epilogue."""
+    import numpy as np
+
+    from ..utils.bucketing import bucket_length
+
+    counts = np.asarray(frame_counts, dtype=np.int64)
+    offs = np.zeros(counts.shape[0], dtype=np.int32)
+    np.cumsum(counts[:-1], out=offs[1:])
+    n_pk = bucket_length(max(int(counts.sum()), 1), min_bucket=pack_align)
+    dev_offs = jax.device_put(offs, NamedSharding(mesh, P()))
+    return dev_offs, n_pk
+
+
 def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
-                           mesh: Mesh, feature="mfcc"):
+                           mesh: Mesh, feature="mfcc", frame_counts=None):
     """:func:`extraction_step` with the packed host->device layout from
     :func:`pack_signals`: the padded (B, t) signal block is rebuilt ON DEVICE
     from the unpadded flat buffer, so the tunnel/PCIe transfer carries only
-    true samples (int16 when lossless).  Same outputs as extraction_step."""
+    true samples (int16 when lossless).  Same outputs as extraction_step.
+
+    ``frame_counts`` (per-row valid-frame counts from
+    :func:`frame_counts_host`) switches on PACKED OUTPUTS: the return value
+    becomes ``(packed_feats_tree, moments)`` where each feature leaf is a
+    dense (n_pk, ...) buffer of only the valid frames in row-major corpus
+    order (row r occupies rows ``cumsum_excl(counts)[r] : +counts[r]``) —
+    device->host fetches then skip batch padding and the mask plane."""
     b = offsets.shape[0]
     multi = isinstance(feature, (tuple, list))
     if multi and "melspec" in feature:
@@ -431,6 +542,11 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
         jnp.asarray(lengths, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
     )
     key = tuple(feature) if multi else feature
+    if frame_counts is not None:
+        frame_offsets, n_pk = _frame_pack_args(frame_counts, mesh)
+        return _extraction_step_packed_out_impl(
+            flat, offsets, lengths, frame_offsets, t, n_pk, cfg, key, mesh
+        )
     return _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, key,
                                         mesh)
 
@@ -503,6 +619,7 @@ def extraction_step(
     cfg: FeatureConfig,
     mesh: Mesh,
     feature: str = "mfcc",
+    frame_counts=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, CorpusMoments]:
     """Sharded batch extraction + global masked moments.
 
@@ -515,6 +632,9 @@ def extraction_step(
     frontend then feeds every head (the sharded
     :func:`mfcc_rust_tpu.features.extract`), returning
     ({name: feats}, mask, {name: CorpusMoments}).
+
+    ``frame_counts`` switches on packed outputs — see
+    :func:`extraction_step_packed`.
     """
     n_data = mesh.shape[DATA_AXIS]
     n_seq = mesh.shape[SEQ_AXIS]
@@ -544,8 +664,12 @@ def extraction_step(
     lengths = jax.device_put(
         jnp.asarray(lengths, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
     )
-    if multi:
-        return _extraction_step_multi_impl(
-            signals, lengths, cfg, tuple(feature), mesh
+    key = tuple(feature) if multi else feature
+    if frame_counts is not None:
+        frame_offsets, n_pk = _frame_pack_args(frame_counts, mesh)
+        return _extraction_step_out_impl(
+            signals, lengths, frame_offsets, n_pk, cfg, key, mesh
         )
+    if multi:
+        return _extraction_step_multi_impl(signals, lengths, cfg, key, mesh)
     return _extraction_step_impl(signals, lengths, cfg, feature, mesh)

@@ -171,6 +171,7 @@ class CorpusRunner:
         fetch_every: int = 1,
         fetch_threads: int = 2,
         write_threads: int = 2,
+        packed_output: bool = True,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -268,6 +269,15 @@ class CorpusRunner:
         # before every checkpoint save, so "done" is never durable before
         # its outputs are.  0 = write synchronously.
         self.write_threads = max(0, int(write_threads))
+        # Packed OUTPUT transfers: the device packs only the valid frames of
+        # every feature head into dense (n_pk, ...) buffers before the fetch
+        # (parallel.data._pack_frame_tree), so the device->host wire skips
+        # batch padding (~25% on the bucket grid) and the mask plane; the
+        # host reconstructs per-utterance slices from frame_counts_host
+        # (exact integer mirror of the device mask).  Measured on this
+        # image's tunnel the D2H link is ~5x slower than H2D, making output
+        # bytes a first-order corpus cost.
+        self.packed_output = bool(packed_output)
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -365,20 +375,27 @@ class CorpusRunner:
                 # clips are exactly PCM16) and rebuild the padded (B, T)
                 # block on device — host->device bytes are the corpus
                 # bottleneck on remote-attached chips
-                from .data import extraction_step_packed, pack_signals
+                from .data import (extraction_step_packed, frame_counts_host,
+                                   pack_signals)
 
                 with self.meter.measure(0.0, scope="pack"):
                     flat, offsets, lens = pack_signals(
                         [s for _, s, _ in batch], b_pad, self.mesh,
                         pcm16_exact=exact,
                     )
+                counts = None
+                if self.packed_output:
+                    counts = np.zeros(b_pad, dtype=np.int64)
+                    counts[:b] = frame_counts_host(
+                        lengths, self.cfg, self.feature
+                    )
                 audio_sec = float(lengths.sum()) / self.cfg.sample_rate
                 with self.meter.measure(0.0, scope="dispatch"):
                     out = extraction_step_packed(
                         flat, offsets, lens, bucket, self.cfg, self.mesh,
-                        self.feature,
+                        self.feature, frame_counts=counts,
                     )
-                inflight.append((ids, out, audio_sec))
+                inflight.append((ids, out, audio_sec, counts))
                 if len(inflight) >= self.fetch_every:
                     drain()
                 return
@@ -408,13 +425,20 @@ class CorpusRunner:
                 )
             lens = np.zeros(b_pad, dtype=np.int64)
             lens[:b] = lengths
+            counts = None
+            if self.packed_output:
+                from .data import frame_counts_host
+
+                counts = np.zeros(b_pad, dtype=np.int64)
+                counts[:b] = frame_counts_host(lengths, self.cfg, self.feature)
             audio_sec = float(lengths.sum()) / self.cfg.sample_rate
             # asynchronous: enqueues device work and returns device arrays
             with self.meter.measure(0.0, scope="dispatch"):
                 out = extraction_step(
-                    sig, lens, self.cfg, self.mesh, self.feature
+                    sig, lens, self.cfg, self.mesh, self.feature,
+                    frame_counts=counts,
                 )
-            inflight.append((ids, out, audio_sec))
+            inflight.append((ids, out, audio_sec, counts))
             if len(inflight) >= self.fetch_every:
                 drain()
 
@@ -429,9 +453,9 @@ class CorpusRunner:
 
             records = list(inflight)
             inflight.clear()
-            trees = [out for _, out, _ in records]
+            trees = [r[1] for r in records]
             if executor is None:
-                group_audio = sum(a for _, _, a in records)
+                group_audio = sum(r[2] for r in records)
                 with self.meter.measure(group_audio, scope="fetch"):
                     fetched = fetch_outputs(trees)
                 consume(records, fetched)
@@ -443,7 +467,7 @@ class CorpusRunner:
 
         def consume_oldest():
             records, fut = pending_fetches.popleft()
-            group_audio = sum(a for _, _, a in records)
+            group_audio = sum(r[2] for r in records)
             # only the residual wait bills here: the transfer itself ran
             # concurrently in the fetch pool
             with self.meter.measure(group_audio, scope="fetch"):
@@ -452,9 +476,13 @@ class CorpusRunner:
 
         def consume(records, fetched):
             nonlocal moments, batches_since_ckpt
-            for (ids, _, audio_sec), (feats, mask, batch_moments) in zip(
-                records, fetched
-            ):
+            for (ids, _, audio_sec, counts), out in zip(records, fetched):
+                if counts is not None:
+                    feats, batch_moments = out
+                    row_off = np.zeros(len(ids) + 1, dtype=np.int64)
+                    np.cumsum(counts[: len(ids)], out=row_off[1:])
+                else:
+                    feats, mask, batch_moments = out
                 if self.multi:
                     feats = {
                         k: (v[0] if k == "mfe" else v)
@@ -468,13 +496,21 @@ class CorpusRunner:
                 if self.out_dir:
                     for r, utt_id in enumerate(ids):
                         out_path = self.out_dir / self._out_names[utt_id]
-                        n_valid = int(mask[r].sum())
-                        if self.multi:
+                        if counts is not None:
+                            lo, hi = int(row_off[r]), int(row_off[r + 1])
+                            if self.multi:
+                                payload = {
+                                    k: v[lo:hi] for k, v in feats.items()
+                                }
+                            else:
+                                payload = feats[lo:hi]
+                        elif self.multi:
+                            n_valid = int(mask[r].sum())
                             payload = {
                                 k: v[r, :n_valid] for k, v in feats.items()
                             }
                         else:
-                            payload = feats[r, :n_valid]
+                            payload = feats[r, : int(mask[r].sum())]
                         if writer is not None:
                             write_futures.append(
                                 writer.submit(write_one, out_path, payload)

@@ -374,6 +374,87 @@ def test_extraction_step_packed_multi_and_melspec(rng):
     )
 
 
+def test_packed_output_matches_padded_rows(rng):
+    """frame_counts= packed-output epilogue: the dense (n_pk, ...) buffers
+    hold exactly the padded step's valid rows (bitwise — same device program
+    prefix, the epilogue only gathers), in row-major corpus order, zeros in
+    the bucket tail; moments identical."""
+    from mfcc_rust_tpu.parallel import (extraction_step,
+                                        extraction_step_packed,
+                                        frame_counts_host, pack_signals)
+
+    mesh = make_mesh(n_data=4, n_seq=2)
+    cfg = m.speechpy_config(16000)
+    hop = cfg.frame_step
+    t, b = hop * 60, 4
+    lengths = np.array([t, t - 777, t - 3200, hop * 30])
+    clips = [_quantize_pcm16(rng.normal(0, 0.1, L).astype(np.float32))
+             for L in lengths]
+    b_pad = 8  # fully-masked padding rows occupy no packed positions
+    flat, offsets, lens = pack_signals(clips, b_pad, mesh)
+    counts = frame_counts_host(lens, cfg, "mfcc")
+
+    ref_feats, ref_mask, ref_mom = extraction_step_packed(
+        flat, offsets, lens, t, cfg, mesh
+    )
+    pk, mom = extraction_step_packed(
+        flat, offsets, lens, t, cfg, mesh, "mfcc", frame_counts=counts
+    )
+    pk = np.asarray(pk)
+    # host counts mirror the device mask exactly
+    np.testing.assert_array_equal(counts,
+                                  np.asarray(ref_mask).sum(axis=1))
+    off = 0
+    for r, c in enumerate(counts):
+        np.testing.assert_array_equal(pk[off : off + c],
+                                      np.asarray(ref_feats)[r, :c])
+        off += c
+    assert pk.shape[0] >= off and not pk[off:].any()  # zeroed bucket tail
+    np.testing.assert_array_equal(np.asarray(mom.mean),
+                                  np.asarray(ref_mom.mean))
+    assert int(mom.count) == int(ref_mom.count)
+
+    # multi-feature tuple (incl. the (mel, energies) mfe head) through the
+    # unpacked-signal entry point
+    sigs = np.zeros((b_pad, t), np.float32)
+    for i, c in enumerate(clips):
+        sigs[i, : len(c)] = c
+    which = ("mfcc", "mfe", "energy")
+    ref_out, ref_mask, _ = extraction_step(sigs, lens, cfg, mesh, which)
+    out, _ = extraction_step(sigs, lens, cfg, mesh, which,
+                             frame_counts=counts)
+    for name in which:
+        ref_leaf = ref_out[name][0] if name == "mfe" else ref_out[name]
+        leaf = np.asarray(out[name][0] if name == "mfe" else out[name])
+        off = 0
+        for r, c in enumerate(counts):
+            np.testing.assert_array_equal(leaf[off : off + c],
+                                          np.asarray(ref_leaf)[r, :c])
+            off += c
+
+    # melspec framing (ceil(L/hop) counts, left-halo seq sharding)
+    vcfg = m.vorbis_config(16000, frame_length=0.01)
+    vt = vcfg.stream_hop * 64
+    vclips = [c[: min(len(c), vt)] for c in clips]
+    vflat, voffsets, vlens = pack_signals(vclips, b_pad, mesh)
+    vcounts = frame_counts_host(vlens, vcfg, "melspec")
+    ref_feats, ref_mask, _ = extraction_step_packed(
+        vflat, voffsets, vlens, vt, vcfg, mesh, "melspec"
+    )
+    np.testing.assert_array_equal(vcounts,
+                                  np.asarray(ref_mask).sum(axis=1))
+    vpk, _ = extraction_step_packed(
+        vflat, voffsets, vlens, vt, vcfg, mesh, "melspec",
+        frame_counts=vcounts,
+    )
+    vpk = np.asarray(vpk)
+    off = 0
+    for r, c in enumerate(vcounts):
+        np.testing.assert_array_equal(vpk[off : off + c],
+                                      np.asarray(ref_feats)[r, :c])
+        off += c
+
+
 def test_unpack_resample_matches_padded(rng):
     """Packed source-rate transfer + fused device unpack/resample == the
     padded host batch through resample_poly."""

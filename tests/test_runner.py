@@ -162,6 +162,26 @@ def test_runner_bitwise_deterministic(corpus, tmp_path):
         assert np.array_equal(np.load(f), np.load(out1 / f.name)), f.name
 
 
+def test_runner_packed_output_matches_padded(corpus, tmp_path):
+    """packed_output=True (default: dense valid-frame D2H buffers) writes
+    byte-identical per-utterance outputs and identical moments to the padded
+    layout — same device program prefix, the epilogue only gathers."""
+    paths, _ = corpus
+    mesh = make_mesh(n_data=4, n_seq=2)
+    out_a, out_b = tmp_path / "packed", tmp_path / "padded"
+    mom_a = CorpusRunner(paths, CFG, mesh, batch_size=4, out_dir=str(out_a),
+                         packed_output=True).run()
+    mom_b = CorpusRunner(paths, CFG, mesh, batch_size=4, out_dir=str(out_b),
+                         packed_output=False).run()
+    for p in sorted(out_b.iterdir()):
+        a, b = np.load(out_a / p.name), np.load(p)
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(mom_a.mean),
+                                  np.asarray(mom_b.mean))
+    np.testing.assert_array_equal(np.asarray(mom_a.m2), np.asarray(mom_b.m2))
+    assert int(mom_a.count) == int(mom_b.count)
+
+
 def test_runner_rejects_wrong_sample_rate(tmp_path, rng):
     p = tmp_path / "bad_sr.wav"
     write_wav(str(p), rng.normal(0, 0.1, 8000).astype(np.float32), 8000)

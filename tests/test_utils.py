@@ -108,9 +108,11 @@ def test_profiling_meter_and_costs():
         sol["compute_bound_tile_quantized_audio_s_per_s"]
         <= sol["compute_bound_audio_s_per_s"]
     )
-    # precision ladder: fewer MXU passes -> higher compute bound
-    hi = speed_of_light(cfg.replace(precision="high"))
-    assert hi["compute_bound_audio_s_per_s"] > sol["compute_bound_audio_s_per_s"]
+    # precision ladder: more MXU passes -> lower compute bound (the default
+    # is "high"; "highest" doubles the pass count)
+    strict = speed_of_light(cfg.replace(precision="highest"))
+    assert (strict["compute_bound_audio_s_per_s"]
+            < sol["compute_bound_audio_s_per_s"])
 
 
 def test_profiler_trace_smoke(tmp_path):
