@@ -187,20 +187,25 @@ def suite():
     _emit("audio_seconds_per_sec_per_chip (librosa mel, precision=highest "
           "strict mode)", v, spread=s, sol=_sol(lcfg_strict, "mel_librosa"))
 
-    # 16 kHz production frontend (n_fft 512, hop 160 — Whisper-style): rides
-    # the frames-input Pallas CT layout (hop does not divide into N1 lanes)
+    # 16 kHz production frontend (n_fft 512, hop 160 — Whisper-style).  The
+    # default dispatch here is the XLA lowering: the frames-input Pallas
+    # layout is correct but measured ~0.78x XLA on-chip
+    # (exp/frames_layout_ab_r03_results.txt), so "auto" only takes the
+    # chunked-layout kernel.  The frames-layout kernel stays correctness-
+    # gated below via pallas="force".
     pcfg = librosa_config(16000, n_fft=512, hop_length=160, n_mels=80)
     bp, tp = 64, 160000
-    if _librosa_pallas_ok(pcfg):
+    pcfg_force = pcfg.replace(pallas="force")
+    if _librosa_pallas_ok(pcfg_force):
         sigp = jnp.asarray(rng.normal(0, 0.1, (2, 48000)).astype(np.float32))
         refp = np.asarray(
             features.mel_spectrogram_librosa(sigp, pcfg.replace(pallas="off"))
         )
-        outp = np.asarray(features.mel_spectrogram_librosa(sigp, pcfg))
+        outp = np.asarray(features.mel_spectrogram_librosa(sigp, pcfg_force))
         errp = float((np.abs(outp - refp) / (np.abs(refp) + 1e-8)).max())
         print(json.dumps({
-            "metric": "pallas CT mel (512/160 frames layout) A/B max rel err "
-                      "vs XLA (gate 1e-3)",
+            "metric": "pallas CT mel (512/160 frames layout, force-only) A/B "
+                      "max rel err vs XLA (gate 1e-3)",
             "value": errp, "unit": "rel", "vs_baseline": round(errp / 1e-3, 6),
         }))
         assert errp <= 1e-3, "frames-layout CT kernel failed the A/B gate"

@@ -354,7 +354,7 @@ def chunk_gemm_wall(cfg, want_energy: bool, lane_align: Optional[int] = None) ->
     column groups are zero-padded to that multiple (TPU lane alignment for
     in-kernel slicing) and the total width padded likewise.
 
-    Returns dict(wall (fl, W) float64, kmax, kpad, r, fl, hop, w, w2) where
+    Returns dict(wall (r*hop, W) float64, kmax, kpad, r, fl, hop, w, w2) where
     xr = out[..., :kpad], xi = out[..., kpad:2*kpad], and when want_energy
     s0 = out[..., 2*kpad], s1 = out[..., 2*kpad+1]; w2 is the squared window
     reshaped (r, hop) for the sum-of-squares Parseval term.
@@ -365,29 +365,37 @@ def chunk_gemm_wall(cfg, want_energy: bool, lane_align: Optional[int] = None) ->
     win = bundle["window"]
     fl = c64.shape[0]
     hop = cfg.frame_step
-    if fl % hop != 0:
-        raise ValueError(f"chunked lowering requires hop {hop} | frame {fl}")
-    r = fl // hop
+    if fl < hop:
+        raise ValueError(f"chunked lowering requires frame {fl} >= hop {hop}")
+    # hop-misaligned frames (e.g. 25 ms / 10 ms -> 400/160): zero-pad the
+    # wall rows up to r = ceil(fl/hop) whole hops so frames still start on
+    # whole chunks — the extra rows multiply out-of-frame samples by zero
+    # weight (exact; +r*hop/fl - 1 GEMM FLOPs).  w2's padded tail rows are
+    # zero too, so the Parseval energy term is unchanged.
+    r = -(-fl // hop)
+    fl_pad = r * hop
 
     def _align(x: int) -> int:
         return x if lane_align is None else ((x + lane_align - 1) // lane_align) * lane_align
 
     kpad = _align(kmax)
-    c = np.zeros((fl, kpad))
-    s = np.zeros((fl, kpad))
-    c[:, :kmax] = c64[:, :kmax]
-    s[:, :kmax] = s64[:, :kmax]
+    c = np.zeros((fl_pad, kpad))
+    s = np.zeros((fl_pad, kpad))
+    c[:fl, :kmax] = c64[:, :kmax]
+    s[:fl, :kmax] = s64[:, :kmax]
     cols = [c, s]
     w = win[:fl] if cfg.window != "rect" else np.ones(fl)
+    wp = np.zeros(fl_pad)
+    wp[:fl] = w
     if want_energy:
-        alt = w * ((-1.0) ** np.arange(fl))
-        cols += [w[:, None], alt[:, None]]
+        alt = wp * ((-1.0) ** np.arange(fl_pad))
+        cols += [wp[:, None], alt[:, None]]
     wall = np.concatenate(cols, axis=1)
     if lane_align is not None and wall.shape[1] % lane_align:
         wall = np.pad(wall, [(0, 0), (0, _align(wall.shape[1]) - wall.shape[1])])
     return {
         "wall": wall, "kmax": kmax, "kpad": kpad, "r": r, "fl": fl,
-        "hop": hop, "w": w, "w2": (w * w).reshape(r, hop),
+        "hop": hop, "w": w, "w2": (wp * wp).reshape(r, hop),
     }
 
 

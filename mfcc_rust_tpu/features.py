@@ -46,13 +46,15 @@ def _speechpy_frames(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 
 
 # ------------------------------------------------------- fast chunked path --
-def _chunk_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int, precision):
+def _chunk_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int, precision,
+                fuse: "bool | None" = None):
     """frames @ wall without materializing frames: hop-chunk the signal and
     contract against the (r*hop, D) wall.  Returns
     (chunks, result (..., n_frames, D)).
 
     Two lowerings, picked by MXU K-tile alignment (measured on v5e,
-    exp/headline_breakdown_r03_results.txt):
+    exp/headline_breakdown_r03_results.txt); ``fuse`` overrides the rule
+    (experiments only):
 
     * ``hop % 128 != 0`` (speechpy 20ms/10ms -> hop 160): ONE K=r*hop dot
       over materialized overlapping [chunk_f | chunk_{f+1} | ...] rows.
@@ -70,7 +72,9 @@ def _chunk_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int, precision):
         pad = [(0, 0)] * (signal.ndim - 1) + [(0, need - signal.shape[-1])]
         signal = jnp.pad(signal, pad)
     ch = signal[..., :need].reshape(signal.shape[:-1] + (n_frames + r - 1, hop))
-    if r > 1 and hop % 128 != 0:
+    if fuse is None:
+        fuse = r > 1 and hop % 128 != 0
+    if fuse and r > 1:
         big = jnp.concatenate(
             [ch[..., s : s + n_frames, :] for s in range(r)], axis=-1
         )
@@ -83,6 +87,27 @@ def _chunk_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int, precision):
         )
         y = part if y is None else y + part
     return ch, y
+
+
+def _hoppad_frame_gemm(signal: jnp.ndarray, wall, n_frames: int, hop: int,
+                       precision):
+    """frames @ wall for a hop that does NOT divide the frame length
+    (librosa 16 kHz production configs: n_fft=512, hop=160): zero-pad the
+    wall's row count up to r = ceil(frame_len/hop) whole hops and ride the
+    fused chunk-GEMM — frames then start on whole hop-chunks, so the big
+    operand is r contiguous shifted slices and ONE K=r*hop MXU dot.  The
+    extra K rows multiply samples past the frame with zero weight (+8%
+    FLOPs at 512/160) but the framing stays gather-free.  Measured at
+    512/160 (exp/frame_lowering_ab_r03_results.txt): 509k audio-s/s vs
+    212k for a gcd-granularity strided-slice build of the exact K=frame_len
+    operand (16 strided relayouts dominate), 198k for XLA gather framing,
+    and 167k for the frames-layout Pallas kernel — bitwise-equal outputs."""
+    fl = wall.shape[0]
+    r = -(-fl // hop)
+    wall_pad = np.zeros((r * hop, wall.shape[1]), dtype=np.asarray(wall).dtype)
+    wall_pad[:fl] = wall
+    _, y = _chunk_gemm(signal, wall_pad, n_frames, hop, precision, fuse=True)
+    return y
 
 
 def _stacked_fb(fbank: "np.ndarray", kmax: int, width: int, scale: float = 1.0):
@@ -104,13 +129,18 @@ def _stacked_fb(fbank: "np.ndarray", kmax: int, width: int, scale: float = 1.0):
 
 
 def _fast_path_ok(cfg: FeatureConfig) -> bool:
-    """The chunk-GEMM lowering needs hop-divisible frames, an even fft size
-    (for the Parseval Nyquist term) and the matmul DFT impl."""
+    """The chunk-GEMM lowering needs frames of a bounded number of whole
+    hops (hop-misaligned frames ride a zero-row-padded wall — see
+    constants.chunk_gemm_wall — with the shifted-slice count
+    r = ceil(frame/hop) capped at 8 so the fused big operand stays a few
+    contiguous copies), an even fft size (for the Parseval Nyquist term)
+    and the matmul DFT impl."""
     from .ops.spectrum import resolve_fft_impl
 
     return (
         cfg.frame_size <= cfg.fft_points  # frame>fft needs rfft truncation
-        and cfg.frame_size % cfg.frame_step == 0
+        and cfg.frame_size >= cfg.frame_step
+        and -(-cfg.frame_size // cfg.frame_step) <= 8
         and cfg.fft_points % 2 == 0
         and resolve_fft_impl(cfg) == "matmul"
     )
@@ -330,7 +360,8 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
         return _mel_librosa_pallas(signal, cfg)
     if _librosa_ct_ok(cfg):
         return _librosa_ct_mel(signal, cfg)
-    if _fast_path_ok(cfg) and cfg.frame_size == n:
+    use_fast = _fast_path_ok(cfg) and cfg.frame_size == n and n % hop == 0
+    if use_fast or _librosa_strided_ok(cfg):
         if cfg.center:
             pad = [(0, 0)] * (signal.ndim - 1) + [(n // 2, n // 2)]
             signal = jnp.pad(signal, pad, mode=cfg.pad_mode)
@@ -341,7 +372,13 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
             c64, s64 = bundle["dft_windowed"]
 
             wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
-            _, y = _chunk_gemm(signal, wall, count, hop, cfg.precision)
+            if use_fast:
+                _, y = _chunk_gemm(signal, wall, count, hop, cfg.precision)
+            else:
+                # hop does not divide n_fft (512/160 production frontends):
+                # hop-padded wall + fused chunk GEMM (no gather)
+                y = _hoppad_frame_gemm(signal, wall, count, hop,
+                                       cfg.precision)
             if cfg.power == 2.0:
                 # squared-output projection, librosa: no 1/N scaling
                 fb2 = _stacked_fb(bundle["fbank"], kmax, 2 * kmax)
@@ -358,6 +395,23 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
     return mel_project_time_major(power, cfg)
 
 
+def _librosa_strided_ok(cfg: FeatureConfig) -> bool:
+    """Dispatch :func:`_hoppad_frame_gemm` for the librosa mel fast tail:
+    matmul DFT impl and a hop that does NOT divide the frame, with the
+    shifted-slice count r = ceil(frame/hop) bounded (<=8) so the fused-big
+    materialization stays a handful of contiguous copies (512/160 or
+    512/130 -> r=4; a tiny hop like 40 -> r=13 falls back to gather
+    framing)."""
+    from .ops.spectrum import resolve_fft_impl
+
+    if resolve_fft_impl(cfg) != "matmul" or cfg.fft_points % 2:
+        return False
+    fl, hop = cfg.frame_size, cfg.frame_step
+    if fl % hop == 0:
+        return False
+    return -(-fl // hop) <= 8
+
+
 def _librosa_pallas_ok(cfg: FeatureConfig) -> bool:
     """Dispatch the fused Pallas CT mel kernel (ops/pallas/ct_mel.py):
     qualifying config + "auto" on the TPU backend (or "force" anywhere —
@@ -370,11 +424,21 @@ def _librosa_pallas_ok(cfg: FeatureConfig) -> bool:
         return False
     if cfg.fft_impl == "fft":
         return False
-    from .ops.pallas.ct_mel import pallas_ct_supported
+    from .ops.pallas.ct_mel import _chunk_layout_ok, pallas_ct_supported
 
     if not pallas_ct_supported(cfg):
         return False
-    return cfg.pallas == "force" or jax.default_backend() == "tpu"
+    if cfg.pallas == "force":
+        return True
+    # "auto" dispatches only the zero-copy CHUNKED layout: the frames-input
+    # layout (hop % n1 != 0, e.g. 512/160 or 512/130 16 kHz frontends) is
+    # correct but measured ~0.78x the XLA lowering on-chip (the strided
+    # frame gather XLA prepends costs more than the kernel's VMEM fusion
+    # recovers; exp/frames_layout_ab_r03_results.txt), so those configs take
+    # the faster XLA path; the kernel remains reachable via pallas="force".
+    if not _chunk_layout_ok(cfg):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 from functools import partial as _partial

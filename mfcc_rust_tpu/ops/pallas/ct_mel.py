@@ -72,11 +72,15 @@ def _chunk_layout_ok(cfg: FeatureConfig) -> bool:
 
 
 def pallas_ct_supported(cfg: FeatureConfig) -> bool:
-    """Kernel dispatch predicate.  Configs whose hop does not divide into
-    whole N1 lanes (e.g. 16 kHz n_fft=512 / hop=160 production frontends)
-    take the frames-input layout: frames are gathered once by XLA (strided
-    chunk slices) and the kernel fuses window + both CT stages + |X|^2 + mel
-    in VMEM — still one HBM read of the frames and one mel write."""
+    """Kernel CORRECTNESS predicate (what the kernel can compute).  Configs
+    whose hop does not divide into whole N1 lanes (e.g. 16 kHz n_fft=512 /
+    hop=160 production frontends) take the frames-input layout: frames are
+    gathered once by XLA (strided chunk slices) and the kernel fuses window
+    + both CT stages + |X|^2 + mel in VMEM.  NOTE: auto-DISPATCH additionally
+    requires :func:`_chunk_layout_ok` — the frames layout measured ~0.78x
+    the XLA lowering on-chip (the gather XLA prepends costs more than the
+    fusion recovers, exp/frames_layout_ab_r03_results.txt), so it only runs
+    under ``pallas="force"`` (features._librosa_pallas_ok)."""
     if cfg.frame_size != cfg.fft_points or cfg.power != 2.0:
         return False
     return kernel_factorization(cfg) is not None

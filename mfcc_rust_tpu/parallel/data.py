@@ -522,9 +522,9 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
         hop = cfg.stream_hop
     else:
         hop = cfg.frame_step
-        if cfg.frame_size % hop:
+        if cfg.frame_size < hop:
             raise ValueError(
-                "sequence-parallel framing requires frame_size % frame_step == 0"
+                "sequence-parallel framing requires frame_size >= frame_step"
             )
     n_data = mesh.shape[DATA_AXIS]
     n_seq = mesh.shape[SEQ_AXIS]
@@ -650,9 +650,9 @@ def extraction_step(
         hop = cfg.stream_hop
     else:
         hop = cfg.frame_step
-        if cfg.frame_size % hop:
+        if cfg.frame_size < hop:
             raise ValueError(
-                "sequence-parallel framing requires frame_size % frame_step == 0"
+                "sequence-parallel framing requires frame_size >= frame_step"
             )
     if b % n_data:
         raise ValueError(f"batch {b} not divisible by data axis {n_data}")

@@ -261,14 +261,29 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             inter = 2 * 4 * (n + 2 * n2 * n1 + 2 * n2 * k1max + n2 * k1max)
             hbm = sr * 4 + inter * fps + 4 * m * fps
         else:
-            lowering = "direct-wall"
             from ..constants import constant_bundle
+            from ..features import _librosa_strided_ok
 
             kmax = constant_bundle(cfg)["fbank_kmax"]
-            gemms.append((hop, 2 * kmax, n // hop))
-            gemms.append((2 * kmax, m, 1))
             vpu += 2 * kmax
             hbm = sr * 4 + 2 * 4 * (2 * kmax + m) * fps + 4 * m * fps
+            if n % hop == 0:
+                lowering = "direct-wall"
+                gemms.append((hop, 2 * kmax, n // hop))
+            elif _librosa_strided_ok(cfg):
+                # hop-padded wall + fused chunk GEMM: ONE K=ceil(n/hop)*hop
+                # dot over a materialized big operand (write + read)
+                lowering = "hoppad-wall"
+                rk = -(-n // hop) * hop
+                gemms.append((rk, 2 * kmax, 1))
+                hbm += 2 * 4 * rk * fps
+            else:
+                # gather framing (frames write+read; the gather's own cost
+                # is not modeled — this bound is optimistic)
+                lowering = "gather-framed"
+                gemms.append((n, 2 * kmax, 1))
+                hbm += 2 * 4 * n * fps
+            gemms.append((2 * kmax, m, 1))
         if feature == "mfcc_librosa":
             gemms.append((m, c, 1))
             vpu += 8 * m  # power_to_db (log10, clamp)

@@ -53,6 +53,36 @@ def test_mfcc(clip):
     np.testing.assert_allclose(ours, gold, rtol=1e-6, atol=1e-6)
 
 
+def test_hoppad_frame_gemm_production_config(clip, rng):
+    """512/160 @16 kHz (hop does not divide n_fft): the hop-padded-wall
+    fused chunk-GEMM lowering must match the float64 oracle and the
+    gather-framing fallback it replaces."""
+    from mfcc_rust_tpu.features import _librosa_strided_ok
+
+    cfg = m.librosa_config(16000, n_fft=512, hop_length=160, n_mels=80)
+    assert _librosa_strided_ok(cfg)
+    assert _librosa_strided_ok(  # any hop with ceil(n/hop) <= 8 qualifies
+        m.librosa_config(16000, n_fft=512, hop_length=130)
+    )
+    # tiny hop -> bounded shifted-slice count keeps the gather fallback
+    assert not _librosa_strided_ok(
+        m.librosa_config(16000, n_fft=512, hop_length=40)
+    )
+    sig = clip[:16000]
+    gold = lr.melspectrogram(sig, 16000, 512, 160, n_mels=80)
+    ours = np.asarray(F.mel_spectrogram_librosa(
+        jnp.asarray(sig), cfg.replace(dtype="float64")))
+    assert ours.shape == gold.shape
+    np.testing.assert_allclose(ours, gold, rtol=1e-6, atol=1e-10)
+    # f32: strided lowering vs the gather lowering (force fft impl so the
+    # fast tail is skipped) on a batch
+    sigs = rng.normal(0, 0.1, (3, 24000)).astype(np.float32)
+    a = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(sigs), cfg))
+    b = np.asarray(F.mel_spectrogram_librosa(
+        jnp.asarray(sigs), cfg.replace(fft_impl="fft")))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def test_float32_rtol(clip):
     """North-star tolerance check in the production dtype: float32 pipeline
     vs float64 oracle (BASELINE.json: librosa-allclose)."""

@@ -171,26 +171,30 @@ class TestStreamingFeatures:
         (VERDICT r1 #8)."""
         from mfcc_rust_tpu.models import StreamingFeatures
 
-        cfg = m.speechpy_config(16000).replace(dtype="float64")
         sig = rng.normal(0, 0.1, 16000)
-        for feat in ("mfcc", "lmfe"):
-            sess = StreamingFeatures(cfg, feature=feat)
-            assert sess._inc is not None  # incremental path engaged
-            hop = cfg.frame_step
-            outs = [sess.process(sig[i : i + hop])
-                    for i in range(0, len(sig), hop)]
-            stream = np.concatenate(outs, axis=0)
-            batch = np.asarray(getattr(F, feat)(jnp.asarray(sig), cfg))
-            assert stream.shape == batch.shape
-            np.testing.assert_allclose(stream, batch, rtol=1e-10, atol=1e-12)
+        base = m.speechpy_config(16000).replace(dtype="float64")
+        # aligned (320/160) and hop-misaligned (400/160 via the zero-padded
+        # wall, r = ceil(frame/hop) = 3) both ride the carried frontend
+        for cfg in (base, base.replace(frame_length=0.025)):
+            for feat in ("mfcc", "lmfe"):
+                sess = StreamingFeatures(cfg, feature=feat)
+                assert sess._inc is not None  # incremental path engaged
+                hop = cfg.frame_step
+                outs = [sess.process(sig[i : i + hop])
+                        for i in range(0, len(sig), hop)]
+                stream = np.concatenate(outs, axis=0)
+                batch = np.asarray(getattr(F, feat)(jnp.asarray(sig), cfg))
+                assert stream.shape == batch.shape
+                np.testing.assert_allclose(stream, batch, rtol=1e-10,
+                                           atol=1e-12)
 
     def test_incremental_fallback_still_works(self, rng):
-        """Configs the carried frontend can't serve (frame not a hop
-        multiple) fall back to the recompute path, still batch-equal."""
+        """Configs the carried frontend can't serve (frame spanning more
+        than 8 hops) fall back to the recompute path, still batch-equal."""
         from mfcc_rust_tpu.models import StreamingFeatures
 
         cfg = m.speechpy_config(16000).replace(
-            dtype="float64", frame_stride=0.012  # 320 % 192 != 0
+            dtype="float64", frame_stride=0.002  # 320/32: r = 10 > 8
         )
         sess = StreamingFeatures(cfg, feature="mfcc")
         assert sess._inc is None

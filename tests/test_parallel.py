@@ -374,6 +374,31 @@ def test_extraction_step_packed_multi_and_melspec(rng):
     )
 
 
+def test_extraction_step_hop_misaligned_frames(rng):
+    """Frames spanning a non-integer number of hops (25 ms / 10 ms ->
+    400/160, r = ceil = 3 via the zero-padded wall) are now allowed on the
+    sharded path and must match the single-device pipeline and the f64
+    oracle."""
+    mesh = make_mesh(n_data=2, n_seq=2)
+    cfg = m.speechpy_config(16000).replace(dtype="float64",
+                                           frame_length=0.025)
+    hop = cfg.frame_step
+    t, b = hop * 50, 2
+    lengths = np.array([t, t - 1234])
+    sigs = np.zeros((b, t))
+    for i, L in enumerate(lengths):
+        sigs[i, :L] = rng.normal(0, 0.1, L)
+
+    feats, mask, _ = extraction_step(sigs, lengths, cfg, mesh)
+    for i, L in enumerate(lengths):
+        n_valid = int(np.asarray(mask)[i].sum())
+        gold = sp.mfcc(sigs[i, :L], 16000, frame_length=0.025)
+        assert n_valid == gold.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(feats)[i, :n_valid], gold, rtol=1e-7, atol=1e-9
+        )
+
+
 def test_packed_output_matches_padded_rows(rng):
     """frame_counts= packed-output epilogue: the dense (n_pk, ...) buffers
     hold exactly the padded step's valid rows (bitwise — same device program

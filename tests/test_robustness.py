@@ -46,11 +46,18 @@ def test_extraction_step_validation(rng):
         extraction_step(np.zeros((3, 3200), np.float32), np.full(3, 3200), cfg, mesh)
     with pytest.raises(ValueError, match="time"):
         extraction_step(np.zeros((4, 3201), np.float32), np.full(4, 3201), cfg, mesh)
-    with pytest.raises(ValueError, match="divisible|frame_size"):
+    # hop-misaligned frames (320/192) are ALLOWED now (zero-padded wall);
+    # only frame < hop (gaps between frames break the halo identity) raises
+    with pytest.raises(ValueError, match="frame_size >= frame_step"):
         extraction_step(
-            np.zeros((4, 3840), np.float32), np.full(4, 3840),
-            cfg.replace(frame_stride=0.012), mesh,
+            np.zeros((4, 4000), np.float32), np.full(4, 4000),
+            cfg.replace(frame_stride=0.025), mesh,
         )
+    f, mask, _ = extraction_step(
+        np.zeros((4, 3840), np.float32), np.full(4, 3840),
+        cfg.replace(frame_stride=0.012), mesh,
+    )
+    assert f.shape[1] == 3840 // 192
 
 
 def test_api_accepts_lists():
