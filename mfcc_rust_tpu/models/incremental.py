@@ -38,9 +38,19 @@ def incremental_supported(cfg: FeatureConfig, feature: str) -> bool:
 
     if cfg.preemphasis_cof:
         return False
+    # The carried frontend's emission clock is CHUNK-quantized: frame f is
+    # emitted only after chunk f + r - 1 is consumed.  For hop-misaligned
+    # frames (fl % hop != 0, r = ceil) the frame is mathematically ready up
+    # to hop - fl%hop samples EARLIER than the chunk boundary, so under
+    # ragged feeds the session's ready-count (what the batch transform
+    # would emit for the samples seen) can exceed the frontend's emissions
+    # — those configs stream through the recompute fallback instead
+    # (StreamingFeatures.process), which is exact for any fl/hop.
+    if cfg.frame_size % cfg.frame_step != 0:
+        return False
     if feature == "mel_librosa":
         # librosa frames by n_fft; the wall needs whole hop blocks
-        return cfg.frame_size == cfg.fft_points and cfg.fft_points % cfg.frame_step == 0
+        return cfg.frame_size == cfg.fft_points
     if feature in ("mfcc", "lmfe", "mfe"):
         return _fast_path_ok(cfg)
     return False
@@ -78,7 +88,11 @@ class IncrementalFrontend:
         if feature == "mel_librosa":
             kmax = bundle["fbank_kmax"]
             c64, s64 = bundle["dft_windowed"]
-            wall = np.concatenate([c64[:, :kmax], s64[:, :kmax]], axis=1)
+            fl = c64.shape[0]
+            rows = -(-fl // cfg.frame_step) * cfg.frame_step  # ceil whole hops
+            wall = np.zeros((rows, 2 * kmax))
+            wall[:fl, :kmax] = c64[:, :kmax]
+            wall[:fl, kmax:] = s64[:, :kmax]
             self._fb2 = _stacked_fb(bundle["fbank"], kmax, 2 * kmax)
             self._want_energy = False
             self._w2 = None

@@ -136,6 +136,25 @@ class TestStreamingFeatures:
                                 sess.process(sig[22050:])], axis=0)
         np.testing.assert_allclose(again, batch, rtol=1e-10, atol=1e-12)
 
+    def test_streaming_librosa_mel_hop_misaligned(self, rng):
+        """16 kHz production config (512/160, hop does not divide n_fft):
+        streams through the recompute fallback (the carried frontend's
+        chunk-quantized clock would lag true frame readiness under ragged
+        feeds) and stays batch-equal."""
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        cfg = m.librosa_config(16000, n_fft=512, hop_length=160, n_mels=80
+                               ).replace(dtype="float64", center=False)
+        sig = rng.normal(0, 0.1, 24000)
+        sess = StreamingFeatures(cfg, feature="mel_librosa")
+        assert sess._inc is None  # chunk clock can't serve misaligned hops
+        cuts = [0, 160, 512, 700, 9000, 16000, 24000]
+        outs = [sess.process(sig[a:b]) for a, b in zip(cuts[:-1], cuts[1:])]
+        stream = np.concatenate(outs, axis=0)
+        batch = np.asarray(F.mel_spectrogram_librosa(jnp.asarray(sig), cfg)).T
+        assert stream.shape == batch.shape
+        np.testing.assert_allclose(stream, batch, rtol=1e-10, atol=1e-12)
+
     def test_streaming_librosa_mel_frame_size_neq_fft(self):
         """mel_spectrogram_librosa frames by fft_points, not frame_size — a
         config where the two differ must be rejected up front instead of
@@ -171,30 +190,47 @@ class TestStreamingFeatures:
         (VERDICT r1 #8)."""
         from mfcc_rust_tpu.models import StreamingFeatures
 
+        cfg = m.speechpy_config(16000).replace(dtype="float64")
         sig = rng.normal(0, 0.1, 16000)
-        base = m.speechpy_config(16000).replace(dtype="float64")
-        # aligned (320/160) and hop-misaligned (400/160 via the zero-padded
-        # wall, r = ceil(frame/hop) = 3) both ride the carried frontend
-        for cfg in (base, base.replace(frame_length=0.025)):
-            for feat in ("mfcc", "lmfe"):
-                sess = StreamingFeatures(cfg, feature=feat)
-                assert sess._inc is not None  # incremental path engaged
-                hop = cfg.frame_step
-                outs = [sess.process(sig[i : i + hop])
-                        for i in range(0, len(sig), hop)]
-                stream = np.concatenate(outs, axis=0)
-                batch = np.asarray(getattr(F, feat)(jnp.asarray(sig), cfg))
-                assert stream.shape == batch.shape
-                np.testing.assert_allclose(stream, batch, rtol=1e-10,
-                                           atol=1e-12)
+        for feat in ("mfcc", "lmfe"):
+            sess = StreamingFeatures(cfg, feature=feat)
+            assert sess._inc is not None  # incremental path engaged
+            hop = cfg.frame_step
+            outs = [sess.process(sig[i : i + hop])
+                    for i in range(0, len(sig), hop)]
+            stream = np.concatenate(outs, axis=0)
+            batch = np.asarray(getattr(F, feat)(jnp.asarray(sig), cfg))
+            assert stream.shape == batch.shape
+            np.testing.assert_allclose(stream, batch, rtol=1e-10, atol=1e-12)
 
-    def test_incremental_fallback_still_works(self, rng):
-        """Configs the carried frontend can't serve (frame spanning more
-        than 8 hops) fall back to the recompute path, still batch-equal."""
+    def test_incremental_fallback_hop_misaligned_ragged(self, rng):
+        """Hop-misaligned frames (25 ms / 10 ms -> 400/160) must NOT engage
+        the carried frontend — its chunk-quantized emission clock lags the
+        true frame readiness by up to hop - fl%hop samples, which ragged
+        feeds expose — and the recompute fallback must stay batch-equal
+        under exactly such ragged sub-hop/multi-hop feeds."""
         from mfcc_rust_tpu.models import StreamingFeatures
 
         cfg = m.speechpy_config(16000).replace(
-            dtype="float64", frame_stride=0.002  # 320/32: r = 10 > 8
+            dtype="float64", frame_length=0.025
+        )
+        sess = StreamingFeatures(cfg, feature="mfcc")
+        assert sess._inc is None
+        sig = rng.normal(0, 0.1, 16000)
+        cuts = [0, 160, 400, 431, 512, 700, 4000, 9000, 9100, 16000]
+        outs = [sess.process(sig[a:b]) for a, b in zip(cuts[:-1], cuts[1:])]
+        stream = np.concatenate(outs, axis=0)
+        batch = np.asarray(F.mfcc(jnp.asarray(sig), cfg))
+        assert stream.shape == batch.shape
+        np.testing.assert_allclose(stream, batch, rtol=1e-10, atol=1e-12)
+
+    def test_incremental_fallback_still_works(self, rng):
+        """Configs the carried frontend can't serve (hop-misaligned frame)
+        fall back to the recompute path, still batch-equal."""
+        from mfcc_rust_tpu.models import StreamingFeatures
+
+        cfg = m.speechpy_config(16000).replace(
+            dtype="float64", frame_stride=0.012  # 320 % 192 != 0
         )
         sess = StreamingFeatures(cfg, feature="mfcc")
         assert sess._inc is None
