@@ -169,7 +169,7 @@ class CorpusRunner:
         on_batch: Optional[Callable[[dict], None]] = None,
         resample: bool = False,
         fetch_every: int = 1,
-        fetch_threads: int = 2,
+        fetch_threads: int = 4,
         write_threads: int = 2,
         packed_output: bool = True,
     ):
@@ -245,23 +245,27 @@ class CorpusRunner:
         self.resample = resample
         # Dispatch-ahead depth: extraction_step calls are asynchronous, so up
         # to ``fetch_every`` batches stay in flight on device and their output
-        # pytrees come back in ONE packed device->host transfer.  Depth > 1
-        # amortizes per-fetch latency on locally-attached chips; measured on
-        # this image's remote tunnel, resolving a deep pending-program graph
-        # in one fetch is ~3x SLOWER than fetch-per-batch (exp/corpus_ab.py),
-        # so the default stays 1.  Results are consumed in dispatch order
-        # either way, so moment merges stay bitwise deterministic
-        # (test_runner_fetch_depth_invariance).
+        # pytrees come back in ONE packed device->host transfer.  With the
+        # r2 padded-output layout a grouped fetch measured ~3x SLOWER
+        # through this image's tunnel (exp/corpus_ab.py); with r3's packed
+        # valid-frame outputs depth 4 is ~7% FASTER
+        # (exp/corpus_fetch_tuning_r03_results.txt) but delays per-batch
+        # consume/checkpoint granularity, so the default stays 1 and the
+        # knob is for throughput-critical runs.  Results are consumed in
+        # dispatch order either way, so moment merges stay bitwise
+        # deterministic (test_runner_fetch_depth_invariance).
         self.fetch_every = max(1, int(fetch_every))
         # Overlapped fetches: device->host transfers for different batches
         # pipeline through the link (measured 2.6-3.5x on this image's
-        # tunnel with 1-2 concurrent fetches, exp/tunnel_overlap.py), so
-        # fetch groups run in a small thread pool while the main thread
-        # keeps decoding and dispatching.  Results are still CONSUMED
-        # (moments merged, outputs written, checkpoint marked) strictly in
-        # dispatch order on the main thread — a bounded deque of futures —
-        # so determinism and failure semantics are unchanged.  0 = fetch
-        # synchronously on the main thread.
+        # tunnel with 1-2 concurrent fetches, exp/tunnel_overlap.py; 4
+        # threads buy a further ~8% with packed outputs,
+        # exp/corpus_fetch_tuning_r03_results.txt), so fetch groups run in
+        # a small thread pool while the main thread keeps decoding and
+        # dispatching.  Results are still CONSUMED (moments merged, outputs
+        # written, checkpoint marked) strictly in dispatch order on the
+        # main thread — a bounded deque of futures — so determinism and
+        # failure semantics are unchanged.  0 = fetch synchronously on the
+        # main thread.
         self.fetch_threads = max(0, int(fetch_threads))
         # Per-utterance .npy/.npz writes run in a small writer pool so file
         # I/O overlaps decode/dispatch/fetch instead of billing the main
