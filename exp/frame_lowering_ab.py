@@ -65,14 +65,14 @@ def bench_config(n_fft, hop, mels):
 
     variants = [
         ("hoppad (default)", cfg, False),
-        ("gather+matmul", cfg, True),  # _librosa_strided_ok forced False
+        ("gather+matmul", cfg, True),  # _librosa_hoppad_ok forced False
         ("pallas frames (force)", cfg.replace(pallas="force"), False),
     ]
-    orig = features._librosa_strided_ok
+    orig = features._librosa_hoppad_ok
     for name, c, force_gather in variants:
         # every (re)trace — including slopes' jit-of-fn — must see the
         # forced dispatch, so the monkeypatch spans the whole measurement
-        features._librosa_strided_ok = (
+        features._librosa_hoppad_ok = (
             (lambda _: False) if force_gather else orig
         )
         try:
@@ -82,7 +82,7 @@ def bench_config(n_fft, hop, mels):
             assert rel < 1e-3, (name, rel)
             v, s = slopes(lambda x, fn=fn: fn(x).sum())
         finally:
-            features._librosa_strided_ok = orig
+            features._librosa_hoppad_ok = orig
         print(f"{n_fft}/{hop}  {name:22s} rel {rel:.2e}  {v/1e3:8.1f}k "
               f"audio-s/s (spread {s:.1%})", flush=True)
 

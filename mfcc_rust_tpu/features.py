@@ -361,7 +361,7 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
     if _librosa_ct_ok(cfg):
         return _librosa_ct_mel(signal, cfg)
     use_fast = _fast_path_ok(cfg) and cfg.frame_size == n and n % hop == 0
-    if use_fast or _librosa_strided_ok(cfg):
+    if use_fast or _librosa_hoppad_ok(cfg):
         if cfg.center:
             pad = [(0, 0)] * (signal.ndim - 1) + [(n // 2, n // 2)]
             signal = jnp.pad(signal, pad, mode=cfg.pad_mode)
@@ -395,7 +395,7 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
     return mel_project_time_major(power, cfg)
 
 
-def _librosa_strided_ok(cfg: FeatureConfig) -> bool:
+def _librosa_hoppad_ok(cfg: FeatureConfig) -> bool:
     """Dispatch :func:`_hoppad_frame_gemm` for the librosa mel fast tail:
     matmul DFT impl and a hop that does NOT divide the frame, with the
     shifted-slice count r = ceil(frame/hop) bounded (<=8) so the fused-big

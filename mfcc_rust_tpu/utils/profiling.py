@@ -262,7 +262,7 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             hbm = sr * 4 + inter * fps + 4 * m * fps
         else:
             from ..constants import constant_bundle
-            from ..features import _librosa_strided_ok
+            from ..features import _librosa_hoppad_ok
 
             kmax = constant_bundle(cfg)["fbank_kmax"]
             vpu += 2 * kmax
@@ -270,7 +270,7 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             if n % hop == 0:
                 lowering = "direct-wall"
                 gemms.append((hop, 2 * kmax, n // hop))
-            elif _librosa_strided_ok(cfg):
+            elif _librosa_hoppad_ok(cfg):
                 # hop-padded wall + fused chunk GEMM: ONE K=ceil(n/hop)*hop
                 # dot over a materialized big operand (write + read)
                 lowering = "hoppad-wall"

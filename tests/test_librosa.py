@@ -57,15 +57,15 @@ def test_hoppad_frame_gemm_production_config(clip, rng):
     """512/160 @16 kHz (hop does not divide n_fft): the hop-padded-wall
     fused chunk-GEMM lowering must match the float64 oracle and the
     gather-framing fallback it replaces."""
-    from mfcc_rust_tpu.features import _librosa_strided_ok
+    from mfcc_rust_tpu.features import _librosa_hoppad_ok
 
     cfg = m.librosa_config(16000, n_fft=512, hop_length=160, n_mels=80)
-    assert _librosa_strided_ok(cfg)
-    assert _librosa_strided_ok(  # any hop with ceil(n/hop) <= 8 qualifies
+    assert _librosa_hoppad_ok(cfg)
+    assert _librosa_hoppad_ok(  # any hop with ceil(n/hop) <= 8 qualifies
         m.librosa_config(16000, n_fft=512, hop_length=130)
     )
     # tiny hop -> bounded shifted-slice count keeps the gather fallback
-    assert not _librosa_strided_ok(
+    assert not _librosa_hoppad_ok(
         m.librosa_config(16000, n_fft=512, hop_length=40)
     )
     sig = clip[:16000]
