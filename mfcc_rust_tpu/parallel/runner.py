@@ -308,9 +308,17 @@ class CorpusRunner:
         )
         align = n_seq * hop
 
+        # Reorder-buffer depth: the in-order loader can only run `capacity`
+        # clips ahead of the consumer, but a batch dispatches only after
+        # batch_size clips arrive — with the default 16 the decoder stalls
+        # at every batch boundary (head-of-line refill shows up as the
+        # meter's decode_wait).  Sizing it past one full batch lets decode
+        # run ahead under the device/fetch time; memory stays bounded at
+        # ~capacity clips.
         loader = AudioLoader(
             [self.all_paths[i] for i in todo], n_threads=self.n_io_threads,
             max_seconds=self.max_seconds,
+            capacity=max(32, 2 * self.batch_size),
         )
         # pending pools keyed by source sample rate: batches are same-rate so
         # one device resample call handles the whole padded batch
