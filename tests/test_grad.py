@@ -39,6 +39,38 @@ def test_grad_mfcc_speechpy(rng):
     _directional_check(loss, x, rng)
 
 
+def test_grad_mfcc_hop_misaligned(rng):
+    """Gradient through the zero-padded-wall chunk GEMM (25 ms / 10 ms ->
+    400/160, the r3 hop-misaligned fast path)."""
+    cfg = m.speechpy_config(16000).replace(dtype="float64",
+                                           frame_length=0.025)
+    x = jnp.asarray(rng.normal(0, 0.1, 4000))
+
+    def loss(sig):
+        out = F.mfcc(sig, cfg)
+        w = jnp.cos(jnp.arange(out.size, dtype=out.dtype)).reshape(out.shape)
+        return jnp.sum(out * w)
+
+    _directional_check(loss, x, rng)
+
+
+def test_grad_mel_librosa_hoppad(rng):
+    """Gradient through the hop-padded-wall librosa lowering (512/160)."""
+    cfg = m.librosa_config(16000, n_fft=512, hop_length=160, n_mels=80
+                           ).replace(dtype="float64")
+    from mfcc_rust_tpu.features import _librosa_hoppad_ok
+
+    assert _librosa_hoppad_ok(cfg)
+    x = jnp.asarray(rng.normal(0, 0.1, 4096))
+
+    def loss(sig):
+        out = F.mel_spectrogram_librosa(sig, cfg)
+        w = jnp.sin(jnp.arange(out.size, dtype=out.dtype)).reshape(out.shape)
+        return jnp.sum(out * w)
+
+    _directional_check(loss, x, rng, rtol=1e-5, atol=1e-8)
+
+
 def test_grad_mel_spectrogram_librosa(rng):
     cfg = m.librosa_config(22050).replace(dtype="float64")
     x = jnp.asarray(rng.normal(0, 0.1, 8192))
