@@ -109,12 +109,17 @@ def test_grad_mel_spectrogram_vorbis(rng):
     _directional_check(loss, x, rng)
 
 
-def test_grad_under_jit_matches_eager(rng):
+def test_grad_under_jit_matches_eager():
+    # own generator: the session rng's stream position depends on test
+    # order, and this assertion sits near f64 roundoff — jit legitimately
+    # refuses bit-equality with eager (XLA fuses/reorders), so the input
+    # must be fixed and the tolerance a few ulp-chains wide (1e-9), not
+    # 1e-12 (observed order-dependent flake at that level)
     cfg = m.speechpy_config(16000).replace(dtype="float64")
-    x = jnp.asarray(rng.normal(0, 0.1, 4000))
+    x = jnp.asarray(np.random.default_rng(7).normal(0, 0.1, 4000))
     loss = lambda sig: jnp.sum(F.mfcc(sig, cfg) ** 2)
     g_eager = jax.grad(loss)(x)
     g_jit = jax.jit(jax.grad(loss))(x)
     np.testing.assert_allclose(
-        np.asarray(g_jit), np.asarray(g_eager), rtol=1e-12, atol=1e-12
+        np.asarray(g_jit), np.asarray(g_eager), rtol=1e-9, atol=1e-12
     )
