@@ -243,6 +243,19 @@ def suite():
     _emit("audio_seconds_per_sec_per_chip (MFCC-13, precision=highest "
           "strict mode)", v, spread=s, sol=_sol(cfg_strict, "mfcc"))
 
+    # hop-misaligned speechpy framing (25 ms / 10 ms -> 400/160): rides the
+    # r3 zero-padded-wall chunk GEMM instead of gather framing
+    cfg_25 = FeatureConfig(sample_rate=16000, frame_length=0.025)
+    v, s = _slope_timer(
+        lambda x: features.mfcc(x, cfg_25).sum(),
+        lambda k: jnp.asarray(
+            rng.normal(0, 0.1, (k, bh, th)).astype(np.float32)
+        ),
+        bh * 10.0,
+    )
+    _emit("audio_seconds_per_sec_per_chip (MFCC-13 25ms/10ms frames, "
+          "hop-padded wall)", v, spread=s, sol=_sol(cfg_25, "mfcc"))
+
     # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded
     # batch, via the single-frontend-pass multi-feature API
     cfg = FeatureConfig(sample_rate=16000)
