@@ -6,6 +6,13 @@ numpy behavior change) is caught as a fixture mismatch rather than silently
 shifting the compatibility contract.
 
 Run: python -m tests.golden.gen_fixtures   (from the repo root)
+
+``--external``: if the REAL upstream packages (librosa, speechpy) are
+importable — they are NOT in this image, which has no network egress — run
+them on the same fixture inputs and report the max abs/rel difference vs
+the in-repo float64 oracles.  This is the one-command externality check for
+an environment that does have the upstream packages (docs/PARITY.md,
+"Oracle externality").
 """
 
 from __future__ import annotations
@@ -58,5 +65,51 @@ def main() -> None:
         print(f"wrote {name}: {arr.shape}")
 
 
+def external_check() -> int:
+    """Diff the in-repo oracles against REAL librosa/speechpy (if
+    importable).  Returns the number of comparisons that ran."""
+    sig16, clip22, feat = fixture_inputs()
+    ours = compute_all()
+    ran = 0
+
+    def report(name, ext):
+        nonlocal ran
+        ext = np.asarray(ext, np.float64)
+        mine = np.asarray(ours[name], np.float64)
+        if ext.shape != mine.shape:
+            print(f"{name}: SHAPE MISMATCH ext{ext.shape} vs ours{mine.shape}")
+        else:
+            d = np.abs(ext - mine)
+            rel = d / (np.abs(ext) + 1e-12)
+            print(f"{name}: max abs {d.max():.3e}  max rel {rel.max():.3e}")
+        ran += 1
+
+    try:
+        import librosa
+
+        report("librosa_mel", librosa.feature.melspectrogram(
+            y=clip22, sr=22050, n_fft=2048, hop_length=512, n_mels=128))
+        report("librosa_mfcc", librosa.feature.mfcc(y=clip22, sr=22050))
+    except ImportError:
+        print("librosa not importable here (expected in this image): "
+              "skipping librosa external check")
+    try:
+        import speechpy
+
+        report("speechpy_mfcc", speechpy.feature.mfcc(sig16, 16000))
+        report("speechpy_mfe", speechpy.feature.mfe(sig16, 16000)[0])
+        report("speechpy_cmvnw",
+               speechpy.processing.cmvnw(feat, 31, True))
+    except ImportError:
+        print("speechpy not importable here (expected in this image): "
+              "skipping speechpy external check")
+    return ran
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--external" in sys.argv:
+        external_check()
+    else:
+        main()
