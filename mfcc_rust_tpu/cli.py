@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fetch-threads", type=int, default=2,
                    help="concurrent device->host fetches (0 = synchronous);"
                         " results are consumed in dispatch order regardless")
+    p.add_argument("--wire-dtype", default=None,
+                   choices=["float16", "bfloat16"],
+                   help="16-bit device->host feature wire (halves D2H "
+                        "bytes; lossy: ~2^-11 relative quantization, "
+                        "outputs written in the wire dtype)")
     p.add_argument("--max-seconds", type=float, default=240.0,
                    help="decode cap per utterance (longer files are truncated"
                         " with a warning)")
@@ -141,6 +146,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         resample=args.resample,
         fetch_every=args.fetch_every,
         fetch_threads=args.fetch_threads,
+        wire_dtype=args.wire_dtype,
         on_batch=None if args.quiet else (
             lambda info: print(json.dumps({"batch": info}), file=sys.stderr)
         ),

@@ -37,13 +37,29 @@ from .mesh import DATA_AXIS, SEQ_AXIS
 from .stats import CorpusMoments, local_moments, psum_moments
 
 
+def _n_valid_frames(lengths: jnp.ndarray, cfg: FeatureConfig, feature):
+    """Per-row valid output-frame count from INT32 true sample counts, in
+    exact integer arithmetic — the device-side twin of
+    :func:`frame_counts_host` (both sides integer, so they agree bitwise for
+    any int32-representable length; ADVICE r3: the old float32 form lost
+    exactness past ~2^17-frame quotients)."""
+    lengths = lengths.astype(jnp.int32)
+    hop = cfg.stream_hop if feature == "melspec" else cfg.frame_step
+    if feature == "melspec":
+        # chunks = ceil(L / hop); lengths are non-negative sample counts
+        return (lengths + (hop - 1)) // hop
+    # speechpy zero_padding=False count: floor((L - frame_len) / hop)
+    # (processing.rs:101-103); // floors negatives like the float form did
+    return (lengths - cfg.frame_size) // hop
+
+
 def _local_features(
     signals: jnp.ndarray,
     lengths: jnp.ndarray,
     cfg: FeatureConfig,
     feature: str,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, CorpusMoments]:
-    """Per-shard body: (Bl, Tl) signals + (Bl,) lengths -> (feats, mask,
+    """Per-shard body: (Bl, Tl) signals + (Bl,) int lengths -> (feats, mask,
     psum'd moments).  Runs inside shard_map."""
     from ..features import _chunked_mel_energy, _fast_path_ok
 
@@ -53,9 +69,7 @@ def _local_features(
     n_local = signals.shape[-1] // hop
     seq_idx = jax.lax.axis_index(SEQ_AXIS)
     gidx = seq_idx * n_local + jnp.arange(n_local)  # global frame index
-    # speechpy zero_padding=False frame count: floor((L - frame_len) / hop)
-    # (processing.rs:101-103)
-    n_valid = jnp.floor((lengths - cfg.frame_size) / hop).astype(jnp.int32)
+    n_valid = _n_valid_frames(lengths, cfg, feature)
     mask = gidx[None, :] < n_valid[:, None]  # (Bl, Fl)
 
     if feature not in ("mfcc", "lmfe", "mfe", "ssc"):
@@ -145,7 +159,7 @@ def _local_multi(
     n_local = signals.shape[-1] // hop
     seq_idx = jax.lax.axis_index(SEQ_AXIS)
     gidx = seq_idx * n_local + jnp.arange(n_local)
-    n_valid = jnp.floor((lengths - cfg.frame_size) / hop).astype(jnp.int32)
+    n_valid = _n_valid_frames(lengths, cfg, features[0])
     mask = gidx[None, :] < n_valid[:, None]
 
     need_energy = bool(want & {"mfe", "energy"}) or (
@@ -214,7 +228,7 @@ def _local_melspec(
     n_local = t // hop
     seq_idx = jax.lax.axis_index(SEQ_AXIS)
     gidx = seq_idx * n_local + jnp.arange(n_local)
-    n_valid = jnp.ceil(lengths / hop).astype(jnp.int32)  # chunks = ceil(T/hop)
+    n_valid = _n_valid_frames(lengths, cfg, "melspec")
     mask = gidx[None, :] < n_valid[:, None]
 
     # gather-free STFT (same lowering and shared constant as
@@ -304,17 +318,18 @@ def _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, feature,
 
 def frame_counts_host(lengths, cfg: FeatureConfig, feature) -> "np.ndarray":
     """Host mirror of the device frame-validity mask's per-row counts
-    (``_local_features``/``_local_melspec``): the number of valid output
-    frames for each true sample count, in exact integer arithmetic.
-
-    The device computes ``floor((L - frame_size) / hop)`` (framed family) /
-    ``ceil(L / hop)`` (melspec) on float32 lengths; for any realizable clip
-    (L exactly f32-representable, quotient <= 2^20) the f32 rounding error is
-    far below the 1/hop distance to the nearest integer boundary, so the
-    integer form here matches bitwise."""
+    (:func:`_n_valid_frames`): the number of valid output frames for each
+    true sample count.  Both sides use exact integer arithmetic on int32
+    lengths (ADVICE r3), so they agree bitwise for every representable
+    clip; lengths past int32 are rejected rather than silently wrapped."""
     import numpy as np
 
     lengths = np.asarray(lengths, dtype=np.int64)
+    if lengths.size and int(lengths.max()) >= 2**31:
+        raise ValueError(
+            f"clip length {int(lengths.max())} exceeds int32 samples "
+            "(the device mask arithmetic runs in int32)"
+        )
     if feature == "melspec":
         return np.maximum(-(-lengths // cfg.stream_hop), 0)
     return np.maximum((lengths - cfg.frame_size) // cfg.frame_step, 0)
@@ -333,12 +348,7 @@ def _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature, n_pk):
     multi = isinstance(feature, tuple)
     any_leaf = jax.tree.leaves(feats)[0]
     B, F = any_leaf.shape[0], any_leaf.shape[1]
-    hop = cfg.stream_hop if feature == "melspec" else cfg.frame_step
-    if feature == "melspec":
-        nv = jnp.ceil(lengths / hop).astype(jnp.int32)
-    else:
-        nv = jnp.floor((lengths - cfg.frame_size) / hop).astype(jnp.int32)
-    nv = jnp.clip(nv, 0, F)
+    nv = jnp.clip(_n_valid_frames(lengths, cfg, feature), 0, F)
     p = jnp.arange(n_pk, dtype=jnp.int32)
     # row containing packed position p: zero-frame rows share their offset
     # with the next row, and side="right" lands on the LAST row with
@@ -361,18 +371,36 @@ def _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature, n_pk):
     return jax.tree.map(pk, feats)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _cast_wire(tree, wire_dtype):
+    """Reduced-precision WIRE format for the packed-output fetch: quantize
+    every f32 feature leaf to ``wire_dtype`` (f16/bf16) on device, halving
+    the bytes of the D2H direction — measured ~5x slower than H2D on a
+    remote-attached chip (exp/d2h_profile.py).  Exactly ``x.astype(wd)`` of
+    the f32 result (round-to-nearest-even); f16 carries an 11-bit mantissa,
+    so the feature error bound is ``|err| <= 2^-11 * |x|`` (+ subnormal
+    floor) — tested in test_parallel.py::test_packed_output_wire_f16."""
+    if wire_dtype is None:
+        return tree
+    wd = jnp.dtype(wire_dtype)
+    return jax.tree.map(
+        lambda x: x.astype(wd) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _extraction_step_packed_out_impl(flat, offsets, lengths, frame_offsets,
-                                     t, n_pk, cfg, feature, mesh):
+                                     t, n_pk, cfg, feature, mesh,
+                                     wire_dtype=None):
     feats, _, moments = _packed_mapped(flat, offsets, lengths, t, cfg,
                                        feature, mesh)
-    return _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature,
-                            n_pk), moments
+    packed = _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature,
+                              n_pk)
+    return _cast_wire(packed, wire_dtype), moments
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _extraction_step_out_impl(signals, lengths, frame_offsets, n_pk, cfg,
-                              feature, mesh):
+                              feature, mesh, wire_dtype=None):
     multi = isinstance(feature, tuple)
     if multi:
         feats, _, moments = _extraction_step_multi_impl(
@@ -382,8 +410,9 @@ def _extraction_step_out_impl(signals, lengths, frame_offsets, n_pk, cfg,
         feats, _, moments = _extraction_step_impl(
             signals, lengths, cfg, feature, mesh
         )
-    return _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature,
-                            n_pk), moments
+    packed = _pack_frame_tree(feats, lengths, frame_offsets, cfg, feature,
+                              n_pk)
+    return _cast_wire(packed, wire_dtype), moments
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -414,7 +443,7 @@ def unpack_resample(flat, offsets, lengths_src, t_src: int, up: int,
         jnp.asarray(offsets, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
     )
     lengths_src = jax.device_put(
-        jnp.asarray(lengths_src, jnp.float32),
+        jnp.asarray(lengths_src, jnp.int32),
         NamedSharding(mesh, P(DATA_AXIS)),
     )
     return _unpack_resample_impl(flat, offsets, lengths_src, t_src, up, down)
@@ -498,7 +527,8 @@ def _frame_pack_args(frame_counts, mesh, pack_align: int = 512):
 
 
 def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
-                           mesh: Mesh, feature="mfcc", frame_counts=None):
+                           mesh: Mesh, feature="mfcc", frame_counts=None,
+                           wire_dtype=None):
     """:func:`extraction_step` with the packed host->device layout from
     :func:`pack_signals`: the padded (B, t) signal block is rebuilt ON DEVICE
     from the unpadded flat buffer, so the tunnel/PCIe transfer carries only
@@ -509,7 +539,11 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
     becomes ``(packed_feats_tree, moments)`` where each feature leaf is a
     dense (n_pk, ...) buffer of only the valid frames in row-major corpus
     order (row r occupies rows ``cumsum_excl(counts)[r] : +counts[r]``) —
-    device->host fetches then skip batch padding and the mask plane."""
+    device->host fetches then skip batch padding and the mask plane.
+
+    ``wire_dtype`` ("float16"/"bfloat16", packed outputs only): quantize the
+    feature leaves to a 16-bit wire format on device before the fetch —
+    see :func:`_cast_wire` for the error bound.  Moments stay f32."""
     b = offsets.shape[0]
     multi = isinstance(feature, (tuple, list))
     if multi and "melspec" in feature:
@@ -523,6 +557,9 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
     else:
         hop = cfg.frame_step
         if cfg.frame_size < hop:
+            # the halo (frame_len - hop samples) would be negative; this is
+            # _chunk_r's frame >= hop condition, without its r <= 8 fusion
+            # cap (r > 8 configs still shard fine via gather framing)
             raise ValueError(
                 "sequence-parallel framing requires frame_size >= frame_step"
             )
@@ -539,14 +576,17 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
         jnp.asarray(offsets, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
     )
     lengths = jax.device_put(
-        jnp.asarray(lengths, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
+        jnp.asarray(lengths, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
     )
     key = tuple(feature) if multi else feature
     if frame_counts is not None:
         frame_offsets, n_pk = _frame_pack_args(frame_counts, mesh)
         return _extraction_step_packed_out_impl(
-            flat, offsets, lengths, frame_offsets, t, n_pk, cfg, key, mesh
+            flat, offsets, lengths, frame_offsets, t, n_pk, cfg, key, mesh,
+            wire_dtype,
         )
+    if wire_dtype is not None:
+        raise ValueError("wire_dtype requires packed outputs (frame_counts)")
     return _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, key,
                                         mesh)
 
@@ -580,25 +620,55 @@ def _extraction_step_multi_impl(signals, lengths, cfg, features, mesh):
     return mapped(signals, lengths)
 
 
+_WIRE16 = (jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16))
+
+
+def _wire_slots(leaf) -> int:
+    """f32 slots a leaf occupies in the packed wire buffer: 16-bit leaves
+    ride two-per-slot (bitcast pairs), everything else one value per slot."""
+    n = 1
+    for s in leaf.shape:
+        n *= s
+    return (n + 1) // 2 if leaf.dtype in _WIRE16 else n
+
+
 @jax.jit
 def _pack_leaves(leaves):
-    return jnp.concatenate([jnp.ravel(x).astype(jnp.float32) for x in leaves])
+    parts = []
+    for x in leaves:
+        v = jnp.ravel(x)
+        if v.dtype in _WIRE16:
+            # two 16-bit values per f32 wire slot: pad to even, bitcast
+            # pairs — pure bit transport, the host views the bytes back
+            if v.size % 2:
+                v = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+            parts.append(
+                jax.lax.bitcast_convert_type(v.reshape(-1, 2), jnp.float32)
+            )
+        else:
+            parts.append(v.astype(jnp.float32))
+    return jnp.concatenate(parts)
 
 
 def fetch_outputs(tree):
     """Device->host fetch of an output pytree in ONE transfer.
 
-    On a remote-attached TPU every array fetch pays a fixed round-trip
-    latency (~100-200 ms through this image's tunnel — measured to dominate
-    the corpus runner; size is nearly irrelevant at feature-batch scale), so
-    the leaves are concatenated into one flat f32 buffer on device and split
-    back on host.  Falls back to per-leaf fetch when a leaf wouldn't survive
-    the f32 round trip (f64 golden-parity runs)."""
+    On a remote-attached TPU a fetch costs a fixed round-trip latency PLUS
+    bytes over a slow link — measured on this image's tunnel ~30 ms fixed +
+    19-22 MB/s D2H (exp/d2h_profile.py), so BOTH terms matter at
+    feature-batch scale (a 128-clip batch's packed frames are ~4 MB ≈ 200 ms
+    of wire).  Packing all leaves into one flat buffer pays the fixed cost
+    once; shrinking bytes is the runner's ``packed_output`` (valid frames
+    only, +53% end-to-end, exp/corpus_packed_out_ab.py) and ``wire_dtype``
+    (f16 wire for the 5x-slower D2H direction).  Falls back to per-leaf
+    fetch when a leaf wouldn't survive the f32 round trip (f64 golden-parity
+    runs)."""
     import numpy as np
 
     leaves, treedef = jax.tree.flatten(tree)
     safe = all(
-        l.dtype in (jnp.float32.dtype, jnp.bool_.dtype) for l in leaves
+        l.dtype in (jnp.float32.dtype, jnp.bool_.dtype) or l.dtype in _WIRE16
+        for l in leaves
     )
     if not safe or len(leaves) < 2:
         return jax.tree.unflatten(treedef, [np.asarray(l) for l in leaves])
@@ -608,8 +678,13 @@ def fetch_outputs(tree):
     ofs = 0
     for l in leaves:
         n = int(np.prod(l.shape)) if l.ndim else 1
-        out.append(flat[ofs : ofs + n].reshape(l.shape).astype(l.dtype))
-        ofs += n
+        slots = _wire_slots(l)
+        if l.dtype in _WIRE16:
+            vals = flat[ofs : ofs + slots].view(l.dtype)[:n]
+            out.append(vals.reshape(l.shape))
+        else:
+            out.append(flat[ofs : ofs + slots].reshape(l.shape).astype(l.dtype))
+        ofs += slots
     return jax.tree.unflatten(treedef, out)
 
 
@@ -620,6 +695,7 @@ def extraction_step(
     mesh: Mesh,
     feature: str = "mfcc",
     frame_counts=None,
+    wire_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, CorpusMoments]:
     """Sharded batch extraction + global masked moments.
 
@@ -651,6 +727,9 @@ def extraction_step(
     else:
         hop = cfg.frame_step
         if cfg.frame_size < hop:
+            # the halo (frame_len - hop samples) would be negative; this is
+            # _chunk_r's frame >= hop condition, without its r <= 8 fusion
+            # cap (r > 8 configs still shard fine via gather framing)
             raise ValueError(
                 "sequence-parallel framing requires frame_size >= frame_step"
             )
@@ -662,14 +741,16 @@ def extraction_step(
         )
     signals = jax.device_put(signals, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)))
     lengths = jax.device_put(
-        jnp.asarray(lengths, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
+        jnp.asarray(lengths, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
     )
     key = tuple(feature) if multi else feature
     if frame_counts is not None:
         frame_offsets, n_pk = _frame_pack_args(frame_counts, mesh)
         return _extraction_step_out_impl(
-            signals, lengths, frame_offsets, n_pk, cfg, key, mesh
+            signals, lengths, frame_offsets, n_pk, cfg, key, mesh, wire_dtype
         )
+    if wire_dtype is not None:
+        raise ValueError("wire_dtype requires packed outputs (frame_counts)")
     if multi:
         return _extraction_step_multi_impl(signals, lengths, cfg, key, mesh)
     return _extraction_step_impl(signals, lengths, cfg, feature, mesh)

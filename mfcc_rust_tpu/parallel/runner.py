@@ -172,6 +172,7 @@ class CorpusRunner:
         fetch_threads: int = 4,
         write_threads: int = 2,
         packed_output: bool = True,
+        wire_dtype: Optional[str] = None,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -282,6 +283,14 @@ class CorpusRunner:
         # image's tunnel the D2H link is ~5x slower than H2D, making output
         # bytes a first-order corpus cost.
         self.packed_output = bool(packed_output)
+        # Opt-in 16-bit feature WIRE ("float16"/"bfloat16"): quantizes the
+        # packed output leaves on device before the fetch, halving D2H bytes
+        # (the ~5x-slower direction).  Lossy: outputs carry f16's 2^-11
+        # relative quantization (parallel.data._cast_wire) and are written
+        # in the wire dtype.  Moments/CMVN stay f32.
+        self.wire_dtype = wire_dtype
+        if wire_dtype is not None and not self.packed_output:
+            raise ValueError("wire_dtype requires packed_output=True")
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -346,6 +355,17 @@ class CorpusRunner:
             )
         max_pending = self.fetch_threads + 2
 
+        def tree_bytes(tree) -> int:
+            # wire bytes of a pytree of device arrays (feeds the bench
+            # wire-cost model; the packed fetch ships ~exactly these bytes)
+            total = 0
+            for leaf in jax.tree.leaves(tree):
+                n = 1
+                for s in leaf.shape:
+                    n *= s
+                total += n * leaf.dtype.itemsize
+            return total
+
         def write_one(out_path: Path, payload) -> None:
             if out_path.exists():
                 return  # idempotent restart-safe output
@@ -395,6 +415,9 @@ class CorpusRunner:
                         [s for _, s, _ in batch], b_pad, self.mesh,
                         pcm16_exact=exact,
                     )
+                self.meter.bump("h2d_bytes", flat.nbytes + offsets.nbytes
+                                + lens.nbytes)
+                self.meter.bump("dispatches")
                 counts = None
                 if self.packed_output:
                     counts = np.zeros(b_pad, dtype=np.int64)
@@ -406,6 +429,7 @@ class CorpusRunner:
                     out = extraction_step_packed(
                         flat, offsets, lens, bucket, self.cfg, self.mesh,
                         self.feature, frame_counts=counts,
+                        wire_dtype=self.wire_dtype,
                     )
                 inflight.append((ids, out, audio_sec, counts))
                 if len(inflight) >= self.fetch_every:
@@ -432,6 +456,9 @@ class CorpusRunner:
                         [s for _, s, _ in batch], b_pad, self.mesh,
                         pcm16_exact=exact,
                     )
+                self.meter.bump("h2d_bytes", flat.nbytes + offsets.nbytes
+                                + src_lens.nbytes)
+                self.meter.bump("dispatches")
                 sig = unpack_resample(
                     flat, offsets, src_lens, src_bucket, up, down, self.mesh
                 )
@@ -448,7 +475,7 @@ class CorpusRunner:
             with self.meter.measure(0.0, scope="dispatch"):
                 out = extraction_step(
                     sig, lens, self.cfg, self.mesh, self.feature,
-                    frame_counts=counts,
+                    frame_counts=counts, wire_dtype=self.wire_dtype,
                 )
             inflight.append((ids, out, audio_sec, counts))
             if len(inflight) >= self.fetch_every:
@@ -466,6 +493,8 @@ class CorpusRunner:
             records = list(inflight)
             inflight.clear()
             trees = [r[1] for r in records]
+            self.meter.bump("fetch_groups")
+            self.meter.bump("d2h_bytes", tree_bytes(trees))
             if executor is None:
                 group_audio = sum(r[2] for r in records)
                 with self.meter.measure(group_audio, scope="fetch"):

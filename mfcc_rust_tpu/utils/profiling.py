@@ -20,12 +20,15 @@ from ..config import FeatureConfig
 
 @dataclass
 class Meter:
-    """Accumulating throughput meter: audio-seconds per wall second."""
+    """Accumulating throughput meter: audio-seconds per wall second, plus
+    free-form counters (transfer bytes, fetch/dispatch counts) that feed the
+    corpus wire-cost model in ``bench.py --corpus``."""
 
     audio_seconds: float = 0.0
     wall_seconds: float = 0.0
     batches: int = 0
     scopes: Dict[str, float] = field(default_factory=dict)
+    counters: Dict[str, float] = field(default_factory=dict)
 
     @contextlib.contextmanager
     def measure(self, audio_seconds: float, scope: str = "extract"):
@@ -36,6 +39,9 @@ class Meter:
         self.wall_seconds += dt
         self.batches += 1
         self.scopes[scope] = self.scopes.get(scope, 0.0) + dt
+
+    def bump(self, name: str, value: float = 1.0) -> None:
+        self.counters[name] = self.counters.get(name, 0.0) + value
 
     @property
     def throughput(self) -> float:
@@ -48,6 +54,7 @@ class Meter:
             "audio_seconds_per_sec": round(self.throughput, 1),
             "batches": self.batches,
             "scopes": {k: round(v, 4) for k, v in self.scopes.items()},
+            "counters": {k: round(v, 1) for k, v in self.counters.items()},
         }
 
     def __str__(self) -> str:
@@ -140,6 +147,8 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
     vpu = 0.0  # FLOPs per frame
     lowering = None
 
+    stages = None  # optional list of (name, mxu_flops_q_per_as, vpu_per_as,
+    #                hbm_bytes_per_as) for the serial "expected" composition
     if feature in ("mfcc", "mfe", "lmfe", "ssc", "energy"):
         from ..features import _fast_path_ok
 
@@ -175,6 +184,28 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
                 vpu += m  # log
             if feature == "mfcc":
                 gemms.append((m, c, 1))  # DCT
+            # Serial stage decomposition (VERDICT r3 #4): XLA runs these as
+            # sequential fusions on TPU (no multi-stream overlap), so the
+            # achievable-rate estimate composes them SERIALLY, each stage at
+            # max(its MXU-quantized, VPU, HBM time):
+            #   A  the big DFT chunk-GEMM (overlaps its own operand read),
+            #   B  the Parseval energy pass (re-reads the chunk rows — pure
+            #      HBM, cannot overlap A: it is a separate fusion),
+            #   C  the projection/log/DCT tail over the y intermediate.
+            # Measured accounting at precision=high matches this to ~5%
+            # (docs/DESIGN.md, exp/headline_breakdown_r03b).
+            gq = lambda k, nn, cnt: 2.0 * k * nn * cnt / _tile_eff(k, nn) * fps
+            st_a = ("dft-gemm", gq(*gemms[0]), 0.0, sr * 4 + 4 * w * fps)
+            tail_g = sum(gq(*g) for g in gemms[1:])
+            tail_hbm = 4 * (w + 2 * m) * fps + 4 * (
+                (c if feature == "mfcc" else m) * fps
+            )
+            pars_vpu = (2 * fl + wd["r"] + 4) if need_energy else 0
+            st_c = ("tail", tail_g, (vpu - pars_vpu) * fps, tail_hbm)
+            stages = [st_a, st_c]
+            if need_energy:
+                stages.insert(1, ("parseval", 0.0, pars_vpu * fps,
+                                  sr * 4 + 4 * fps))
         else:
             lowering = "framed-generic"
             k = cfg.freq_size
@@ -208,6 +239,12 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
         gemms.append((w, m, 1))
         vpu += w
         hbm = sr * 4 + 2 * 4 * (w + m) * fps + 4 * m * fps
+        gq = lambda k, nn, cnt: 2.0 * k * nn * cnt / _tile_eff(k, nn) * fps
+        stages = [
+            ("dft-gemm", gq(*gemms[0]), 0.0, sr * 4 + 4 * w * fps),
+            ("mel-tail", gq(*gemms[1]), w * fps,
+             4 * (w + m) * fps + 4 * m * fps),
+        ]
 
     elif feature in ("mel_librosa", "mfcc_librosa"):
         from ..features import _librosa_ct_ok, _librosa_pallas_ok
@@ -303,6 +340,7 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
         "mxu_flops_per_audio_second_tile_quantized": mxu_flops_q,
         "vpu_flops_per_audio_second": vpu * fps,
         "hbm_bytes_per_audio_second": hbm,
+        "stages": stages,
         # kept for compatibility with the r1/r2 field names
         "flops_per_audio_second": mxu_flops + vpu * fps,
         "min_hbm_bytes_per_audio_second": hbm,
@@ -321,18 +359,35 @@ def speed_of_light(cfg: FeatureConfig, feature: str = "mfcc",
     The *bound* charges ideal (un-quantized) MXU FLOPs: measured headline
     throughput sits ~5% ABOVE the ceil-to-128-tiles figure (the compiler's
     padding penalty is milder than ceil/128 on both axes,
-    exp/headline_breakdown_r03_results.txt), so tile-quantized time is
-    reported separately as ``expected_audio_s_per_s`` — a best-estimate of
-    the achievable rate, not a bound."""
+    exp/headline_breakdown_r03_results.txt), so the achievable-rate
+    best-estimate ``expected_audio_s_per_s`` is reported separately.
+
+    ``expected`` composition (r4, VERDICT r3 #4): when the lowering
+    publishes a serial stage decomposition (``pipeline_costs['stages']``),
+    the expected time is the SUM over stages of each stage's
+    max(tile-quantized MXU, VPU, HBM) time — XLA executes fusions
+    sequentially on TPU, so non-GEMM serial work (e.g. the Parseval
+    energy pass) genuinely adds to the wall instead of hiding under the
+    GEMM.  Lowerings without a stage list fall back to the fully-overlapped
+    max() estimate."""
     costs = pipeline_costs(cfg, feature)
     spec = chip_spec(device_kind) if spec is None else spec
     passes = PRECISION_PASSES.get(getattr(cfg, "precision", "highest"), 6)
     mxu_peak = spec["bf16_tflops"] * 1e12 / passes
+    vpu_peak = spec["vpu_tflops"] * 1e12
+    hbm_peak = spec["hbm_gbs"] * 1e9
     t_mxu_q = costs["mxu_flops_per_audio_second_tile_quantized"] / mxu_peak
     t_mxu = costs["mxu_flops_per_audio_second"] / mxu_peak
-    t_vpu = costs["vpu_flops_per_audio_second"] / (spec["vpu_tflops"] * 1e12)
-    t_hbm = costs["hbm_bytes_per_audio_second"] / (spec["hbm_gbs"] * 1e9)
+    t_vpu = costs["vpu_flops_per_audio_second"] / vpu_peak
+    t_hbm = costs["hbm_bytes_per_audio_second"] / hbm_peak
     sol = 1.0 / max(t_mxu, t_vpu, t_hbm)
+    if costs.get("stages"):
+        t_exp = sum(
+            max(mq / mxu_peak, v / vpu_peak, h / hbm_peak)
+            for _, mq, v, h in costs["stages"]
+        )
+    else:
+        t_exp = max(t_mxu_q, t_vpu, t_hbm)
     return {
         "lowering": costs["lowering"],
         "chip": spec.get("chip", "?"),
@@ -344,5 +399,5 @@ def speed_of_light(cfg: FeatureConfig, feature: str = "mfcc",
         "vpu_bound_audio_s_per_s": 1.0 / t_vpu if t_vpu else float("inf"),
         "bandwidth_bound_audio_s_per_s": 1.0 / t_hbm if t_hbm else float("inf"),
         "speed_of_light_audio_s_per_s": sol,
-        "expected_audio_s_per_s": 1.0 / max(t_mxu_q, t_vpu, t_hbm),
+        "expected_audio_s_per_s": 1.0 / t_exp,
     }

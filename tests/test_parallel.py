@@ -150,6 +150,86 @@ def test_fetch_outputs_single_transfer_roundtrip(rng):
     np.testing.assert_array_equal(out64[0], np.asarray(tree64[0]))
 
 
+def test_fetch_outputs_wire16_roundtrip(rng):
+    """16-bit wire leaves (f16/bf16, odd and even sizes) ride the single f32
+    wire buffer via bitcast pairs and come back bit-exact, mixed freely with
+    f32/bool leaves."""
+    import jax.numpy as jnp
+
+    from mfcc_rust_tpu.parallel.data import fetch_outputs
+
+    h16 = jnp.asarray(rng.normal(0, 1, (3, 5, 13)).astype(np.float16))  # odd
+    h16e = jnp.asarray(rng.normal(0, 1, (4, 8)).astype(np.float16))  # even
+    b16 = jnp.asarray(rng.normal(0, 1, 7).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    f32 = jnp.asarray(rng.normal(0, 1, (2, 9)).astype(np.float32))
+    mask = jnp.asarray(rng.random(11) > 0.5)
+    tree = {"a": h16, "b": (h16e, b16), "c": f32, "m": mask}
+    out = fetch_outputs(tree)
+    for got, want in zip(jax.tree.leaves(out), jax.tree.leaves(tree)):
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_packed_output_wire_f16(rng):
+    """wire_dtype="float16" packed outputs: bitwise equal to the f32-wire
+    outputs cast to f16 (the cast is the ONLY difference in the device
+    program), so the documented error bound is f16 quantization of the same
+    values: |err| <= 2^-11 * |x|.  Moments stay f32-identical."""
+    from mfcc_rust_tpu.parallel import (extraction_step_packed,
+                                        frame_counts_host, pack_signals)
+
+    mesh = make_mesh(n_data=4, n_seq=2)
+    cfg = m.speechpy_config(16000)
+    hop = cfg.frame_step
+    t, b_pad = hop * 60, 4
+    lengths = np.array([t, t - 777, t - 3200, hop * 30])
+    clips = [_quantize_pcm16(rng.normal(0, 0.1, L).astype(np.float32))
+             for L in lengths]
+    flat, offsets, lens = pack_signals(clips, b_pad, mesh)
+    counts = frame_counts_host(lens, cfg, "mfcc")
+
+    ref, ref_mom = extraction_step_packed(
+        flat, offsets, lens, t, cfg, mesh, "mfcc", frame_counts=counts
+    )
+    out, mom = extraction_step_packed(
+        flat, offsets, lens, t, cfg, mesh, "mfcc", frame_counts=counts,
+        wire_dtype="float16",
+    )
+    assert out.dtype == jnp.float16
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(ref).astype(np.float16)
+    )
+    # quantization bound on the actual feature values
+    d = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert (d <= np.abs(np.asarray(ref)) * 2.0**-11 + 1e-6).all()
+    np.testing.assert_array_equal(np.asarray(mom.mean),
+                                  np.asarray(ref_mom.mean))
+
+    # multi-feature tree: every head quantized, moments untouched
+    which = ("mfcc", "mfe")
+    mref, _ = extraction_step_packed(
+        flat, offsets, lens, t, cfg, mesh, which, frame_counts=counts
+    )
+    mout, mmom = extraction_step_packed(
+        flat, offsets, lens, t, cfg, mesh, which, frame_counts=counts,
+        wire_dtype="float16",
+    )
+    for got, want in zip(jax.tree.leaves(mout), jax.tree.leaves(mref)):
+        assert got.dtype == jnp.float16
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want).astype(np.float16)
+        )
+    assert all(l.dtype == np.float32
+               for l in jax.tree.leaves(mmom))
+
+    # wire_dtype without packed outputs is an explicit error
+    with pytest.raises(ValueError, match="wire_dtype"):
+        extraction_step_packed(flat, offsets, lens, t, cfg, mesh, "mfcc",
+                               wire_dtype="float16")
+
+
 def test_tree_merge_deterministic(rng):
     parts = []
     for i in range(5):

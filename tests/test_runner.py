@@ -182,6 +182,29 @@ def test_runner_packed_output_matches_padded(corpus, tmp_path):
     assert int(mom_a.count) == int(mom_b.count)
 
 
+def test_runner_wire_f16_outputs(corpus, tmp_path):
+    """wire_dtype="float16": per-utterance outputs are exactly the f32 run's
+    outputs quantized to f16 (same device program, final cast only); moments
+    stay f32 and identical."""
+    paths, _ = corpus
+    mesh = make_mesh(n_data=4, n_seq=2)
+    out_a, out_b = tmp_path / "f16", tmp_path / "f32"
+    mom_a = CorpusRunner(paths, CFG, mesh, batch_size=4, out_dir=str(out_a),
+                         wire_dtype="float16").run()
+    mom_b = CorpusRunner(paths, CFG, mesh, batch_size=4,
+                         out_dir=str(out_b)).run()
+    for p in sorted(out_b.iterdir()):
+        a, b = np.load(out_a / p.name), np.load(p)
+        assert a.dtype == np.float16
+        np.testing.assert_array_equal(a, b.astype(np.float16))
+    np.testing.assert_array_equal(np.asarray(mom_a.mean),
+                                  np.asarray(mom_b.mean))
+    assert np.asarray(mom_a.mean).dtype == np.float32
+    with pytest.raises(ValueError, match="wire_dtype"):
+        CorpusRunner(paths, CFG, mesh, packed_output=False,
+                     wire_dtype="float16")
+
+
 def test_runner_rejects_wrong_sample_rate(tmp_path, rng):
     p = tmp_path / "bad_sr.wav"
     write_wav(str(p), rng.normal(0, 0.1, 8000).astype(np.float32), 8000)
