@@ -62,15 +62,31 @@ def _slope_timer(make_fn, make_xs, audio_seconds_per_batch, k1=4, k2=12,
         return time.perf_counter() - t0
 
     per = timed(16) / 16
-    r2 = max(48, int(target_ms / 1e3 / per))
-    r1 = max(8, r2 // 5)
-    vals = []
-    for _ in range(n_slopes):
-        vals.append(audio_seconds_per_batch
-                    / ((timed(r2) - timed(r1)) / (r2 - r1)))
-    vals.sort()
-    med = vals[len(vals) // 2]
-    return med, (vals[-1] - vals[0]) / med
+
+    def measure(tms):
+        r2 = max(48, int(tms / 1e3 / per))
+        r1 = max(8, r2 // 5)
+        vals = []
+        for _ in range(n_slopes):
+            vals.append(audio_seconds_per_batch
+                        / ((timed(r2) - timed(r1)) / (r2 - r1)))
+        vals.sort()
+        med = vals[len(vals) // 2]
+        return med, (vals[-1] - vals[0]) / med
+
+    # Spread discipline (VERDICT r3 #5): a line with >15% spread is junk for
+    # 1.2-2x questions, so re-measure with a doubled differential (burying
+    # the tunnel jitter deeper) up to twice and keep the tightest run.
+    med, spread = measure(target_ms)
+    tms = target_ms
+    for _ in range(2):
+        if spread <= 0.15:
+            break
+        tms *= 2.0
+        m2, s2 = measure(tms)
+        if s2 < spread:
+            med, spread = m2, s2
+    return med, spread
 
 
 def _sol(cfg, feature):
@@ -334,18 +350,68 @@ def main():
           spread=spread, sol=_sol(cfg, "mfcc"))
 
 
+def _measure_link():
+    """Two-size probes per direction -> (fixed seconds, bytes/s), using the
+    SAME transfer forms the corpus runner issues: ``jax.device_put`` of a
+    flat int16 buffer H2D, ``np.asarray`` of a fresh f32 device buffer D2H
+    (repeats on the same array would read a host-side cache).  Two sizes
+    separate the fixed per-call round trip from bandwidth:
+    bw = (s2-s1)/(t2-t1), fixed = t1 - s1/bw.  Best-of-5 per point (the
+    tunnel jitters ~2x run to run, CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    def h2d_time(nbytes):
+        buf = np.zeros(nbytes // 2, dtype=np.int16)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            dev = jax.device_put(buf)
+            float(jnp.sum(dev[:1].astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def d2h_time(nbytes):
+        best = float("inf")
+        for i in range(5):
+            dev = jax.device_put(np.full(nbytes // 4, float(i), np.float32))
+            jax.block_until_ready(dev)
+            float(jnp.sum(dev[:1]))  # ensure materialized through the tunnel
+            t0 = time.perf_counter()
+            np.asarray(dev)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    s1h, s2h = 2 * 1024 * 1024, 24 * 1024 * 1024
+    t1h, t2h = h2d_time(s1h), h2d_time(s2h)
+    h2d_bw = (s2h - s1h) / max(t2h - t1h, 1e-9)
+    h2d_fixed = max(t1h - s1h / h2d_bw, 0.0)
+    s1d, s2d = 1 * 1024 * 1024, 8 * 1024 * 1024
+    t1d, t2d = d2h_time(s1d), d2h_time(s2d)
+    d2h_bw = (s2d - s1d) / max(t2d - t1d, 1e-9)
+    d2h_fixed = max(t1d - s1d / d2h_bw, 0.0)
+    return {"h2d_fixed": h2d_fixed, "h2d_bw": h2d_bw,
+            "d2h_fixed": d2h_fixed, "d2h_bw": d2h_bw}
+
+
 def corpus(n_files: int = 192, seed: int = 0):
     """BASELINE config-4/5 end-to-end corpus extraction: synthesize a ragged
     on-disk WAV corpus (~LibriSpeech dev-clean length profile: lognormal
     around ~6 s, clipped to 1-35 s), run CorpusRunner — C++ decode, threaded
     prefetch, length bucketing, device extraction, idempotent .npy writes,
-    corpus CMVN moments — and report ONE JSON line of audio-s/s *including*
-    all host I/O, plus the device-scope throughput so the host-overhead gap
-    vs the synthetic headline is quantified.
+    corpus CMVN moments — and report audio-s/s *including* all host I/O.
 
-    Two passes over the same corpus shapes: pass 1 warms the jit cache (the
-    bucket set would otherwise bill one ~30 s TPU compile per bucket to the
-    measurement), pass 2 is timed from a cold output dir."""
+    Wire-cost model (VERDICT r3 #1): the link's fixed round-trip latency and
+    bandwidth are measured in-run per direction (two-size probes), the
+    runner counts its actual transfer bytes and fetch/dispatch calls, and
+    every run emits predicted-vs-actual wire seconds so the gap to the
+    byte-only wire ceiling is itemized, not hand-waved.  A second timed run
+    uses the f16 feature wire (wire_dtype="float16", halves D2H bytes) as a
+    same-process A/B.
+
+    Each wire variant gets its own warm pass first (separate output-cast
+    programs; a bucket's first compile costs ~30 s on the TPU and would
+    otherwise bill to the measurement)."""
     import shutil
     import tempfile
 
@@ -370,21 +436,63 @@ def corpus(n_files: int = 192, seed: int = 0):
             paths.append(p)
             total_audio += len(clip) / 16000.0
 
-        def run(out_dir):
-            # Tunnel bytes both ways are the measured bottleneck: the runner
-            # ships packed unpadded int16 PCM up (pack_signals, ~3.2x fewer
-            # bytes than padded f32) and packed valid-frame f32 buffers down
-            # (packed_output default, no batch padding / mask plane — the
-            # D2H link is ~5x slower than H2D on this image's tunnel,
-            # exp/d2h_profile.py).  fetch_every stays 1 — see
-            # exp/corpus_ab.py.
+        def run(out_dir, wire_dtype=None):
+            # Tunnel bytes both ways are the measured bottleneck: packed
+            # unpadded int16 PCM up (pack_signals), packed valid-frame
+            # buffers down (packed_output default; optional 16-bit wire).
             r = CorpusRunner(paths, cfg, mesh, batch_size=128,
-                             out_dir=out_dir, n_io_threads=8)
+                             out_dir=out_dir, n_io_threads=8,
+                             wire_dtype=wire_dtype)
             t0 = time.perf_counter()
             r.run()
             return time.perf_counter() - t0, r.meter
 
-        run(f"{tmp}/warm")  # compile all buckets
+        link = _measure_link()
+
+        def wire_model(wall, meter, label):
+            """Emit the per-run wire accounting: predicted transfer seconds
+            from (measured link constants x counted bytes/calls) vs the
+            measured dispatch+fetch scopes, the byte-only wire ceiling, and
+            the itemized residual."""
+            c = meter.counters
+            h2d_b, d2h_b = c.get("h2d_bytes", 0.0), c.get("d2h_bytes", 0.0)
+            n_disp = c.get("dispatches", 0.0)
+            n_fg = c.get("fetch_groups", 0.0)
+            pred_h2d = h2d_b / link["h2d_bw"] + n_disp * link["h2d_fixed"]
+            pred_d2h = d2h_b / link["d2h_bw"] + n_fg * link["d2h_fixed"]
+            # byte-only ceiling: fixed costs are amortizable (bigger fetch
+            # groups), bytes are not — directions serialize on this tunnel
+            ceiling = total_audio / (h2d_b / link["h2d_bw"]
+                                     + d2h_b / link["d2h_bw"])
+            sc = meter.scopes
+            accounted = (sc.get("decode_wait", 0) + sc.get("pack", 0)
+                         + sc.get("dispatch", 0) + sc.get("fetch", 0)
+                         + sc.get("write", 0))
+            print(json.dumps({
+                "metric": f"corpus wire model [{label}] (predicted vs actual"
+                          " transfer seconds; residual itemized)",
+                "value": round(total_audio / wall, 1), "unit": "audio-s/s",
+                "vs_baseline": round(total_audio / wall / TARGET, 4),
+                "wall_s": round(wall, 3),
+                "scopes_s": {k: round(v, 3) for k, v in sc.items()},
+                "unattributed_s": round(wall - accounted, 3),
+                "h2d": {"bytes_mb": round(h2d_b / 1e6, 2),
+                        "calls": int(n_disp),
+                        "pred_s": round(pred_h2d, 3),
+                        "actual_dispatch_s": round(sc.get("dispatch", 0), 3)},
+                "d2h": {"bytes_mb": round(d2h_b / 1e6, 2),
+                        "calls": int(n_fg),
+                        "pred_s": round(pred_d2h, 3),
+                        "actual_fetch_s": round(sc.get("fetch", 0), 3)},
+                "link": {k: round(v, 4) if "fixed" in k else round(v / 1e6, 1)
+                         for k, v in link.items()},
+                "wire_ceiling_audio_s_per_s": round(ceiling, 1),
+                "fraction_of_wire_ceiling": round(
+                    total_audio / wall / ceiling, 4),
+            }))
+            return ceiling
+
+        run(f"{tmp}/warm")  # compile all buckets (f32 wire)
         shutil.rmtree(f"{tmp}/warm")
         wall, meter = run(f"{tmp}/out")
         _emit(
@@ -402,68 +510,27 @@ def corpus(n_files: int = 192, seed: int = 0):
             "value": round(1.0 - meter.wall_seconds / wall, 4), "unit": "ratio",
             "vs_baseline": 0.0,
         }))
-        print(json.dumps({
-            "metric": "corpus meter scope seconds (decode_wait/pack/dispatch/"
-                      "fetch/write vs total wall)",
-            "value": round(wall, 3), "unit": "s",
-            "vs_baseline": 0.0,
-            "scopes": {k: round(v, 3) for k, v in meter.scopes.items()},
-        }))
-
-        # Link roofline, both directions.  The packed input path ships
-        # 2 bytes/sample (int16) H2D; the packed OUTPUT path ships
-        # 4*ceil(100/s)*n_cepstral bytes/audio-s D2H (valid frames only).
-        # Measure each direction with the SAME transfer the runner issues
-        # (device_put of a flat int16 buffer / np.asarray of a fresh f32
-        # device buffer), then combine: the two directions do NOT overlap
-        # on this image's tunnel (exp/d2h_profile.py), so the ceiling is
-        # serial: 1 / (h2d_bytes_per_audio_s/h2d_bps +
-        #              d2h_bytes_per_audio_s/d2h_bps).
-        import jax
-        import jax.numpy as jnp
-
-        nbytes = 24 * 1024 * 1024  # ~ one 128-clip batch of ~6 s utterances
-        buf = np.zeros(nbytes // 2, dtype=np.int16)
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            dev = jax.device_put(buf)
-            float(jnp.sum(dev[:1].astype(jnp.float32)))
-            best = min(best, time.perf_counter() - t0)
-        h2d_bps = nbytes / best
-
-        # D2H at output-fetch size: fresh device buffers (a repeated
-        # np.asarray of the same array reads a host-side cache)
-        dn = 8 * 1024 * 1024
-        d2h_best = float("inf")
-        for i in range(5):
-            dev = jax.device_put(np.full(dn // 4, float(i), np.float32))
-            jax.block_until_ready(dev)
-            t0 = time.perf_counter()
-            np.asarray(dev)
-            d2h_best = min(d2h_best, time.perf_counter() - t0)
-        d2h_bps = dn / d2h_best
-
-        frames_per_s = cfg.sample_rate / cfg.frame_step
-        h2d_bytes = 2.0 * cfg.sample_rate  # packed int16 samples
-        d2h_bytes = 4.0 * frames_per_s * cfg.num_cepstral  # packed f32 frames
-        wire_bound = 1.0 / (h2d_bytes / h2d_bps + d2h_bytes / d2h_bps)
-        print(json.dumps({
-            "metric": "corpus link (measured MB/s H2D/D2H) and two-way "
-                      "wire-ceiling audio_s/s for packed int16 in, packed "
-                      "f32 frames out",
-            "value": round(h2d_bps / 1e6, 1), "unit": "MB/s",
-            "vs_baseline": 0.0,
-            "d2h_mb_per_s": round(d2h_bps / 1e6, 1),
-            "wire_bound_audio_s_per_s": round(wire_bound, 1),
-        }))
+        ceiling = wire_model(wall, meter, "f32 wire")
         print(json.dumps({
             "metric": "corpus fraction of link roofline (end-to-end / wire "
                       "ceiling; ~1 = provably wire-bound)",
-            "value": round(total_audio / wall / wire_bound, 4),
+            "value": round(total_audio / wall / ceiling, 4),
             "unit": "ratio", "vs_baseline": 0.0,
-            "device_scope_fraction": round(meter.throughput / wire_bound, 4),
+            "device_scope_fraction": round(meter.throughput / ceiling, 4),
         }))
+
+        # same-process A/B: f16 feature wire (halves the D2H direction;
+        # error bound: exact f16 quantization of the f32 outputs, 2^-11 rel
+        # — test_packed_output_wire_f16 / test_runner_wire_f16_outputs)
+        run(f"{tmp}/warm16", wire_dtype="float16")
+        shutil.rmtree(f"{tmp}/warm16")
+        wall16, meter16 = run(f"{tmp}/out16", wire_dtype="float16")
+        _emit(
+            "audio_seconds_per_sec_per_chip (corpus end-to-end, f16 feature "
+            "wire)",
+            total_audio / wall16,
+        )
+        wire_model(wall16, meter16, "f16 wire")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
