@@ -128,19 +128,33 @@ def _stacked_fb(fbank: "np.ndarray", kmax: int, width: int, scale: float = 1.0):
     return fb2
 
 
+def _chunk_r(cfg: FeatureConfig) -> "int | None":
+    """Shifted-slice count r = ceil(frame/hop) of the chunk-GEMM family, or
+    ``None`` when the fusion does not apply: frames must span at least one
+    hop (frame_size >= frame_step, also what the seq-parallel halo needs)
+    and r is capped at 8 so the fused big operand stays a handful of
+    contiguous chunk-row copies (a tiny hop like 512/40 -> r=13 loses to
+    gather framing).  The single source of truth for the bound — consulted
+    by :func:`_fast_path_ok`, :func:`_librosa_hoppad_ok` and the parallel
+    layer (ADVICE r3 #3)."""
+    fl, hop = cfg.frame_size, cfg.frame_step
+    if fl < hop:
+        return None
+    r = -(-fl // hop)
+    return r if r <= 8 else None
+
+
 def _fast_path_ok(cfg: FeatureConfig) -> bool:
     """The chunk-GEMM lowering needs frames of a bounded number of whole
     hops (hop-misaligned frames ride a zero-row-padded wall — see
-    constants.chunk_gemm_wall — with the shifted-slice count
-    r = ceil(frame/hop) capped at 8 so the fused big operand stays a few
-    contiguous copies), an even fft size (for the Parseval Nyquist term)
+    constants.chunk_gemm_wall — with the shifted-slice count capped by
+    :func:`_chunk_r`), an even fft size (for the Parseval Nyquist term)
     and the matmul DFT impl."""
     from .ops.spectrum import resolve_fft_impl
 
     return (
         cfg.frame_size <= cfg.fft_points  # frame>fft needs rfft truncation
-        and cfg.frame_size >= cfg.frame_step
-        and -(-cfg.frame_size // cfg.frame_step) <= 8
+        and _chunk_r(cfg) is not None
         and cfg.fft_points % 2 == 0
         and resolve_fft_impl(cfg) == "matmul"
     )
@@ -280,12 +294,31 @@ def lmfe(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 def mfcc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """MFCC (feature.rs:94-148 with correct DCT-ortho scaling):
     (..., T) -> (..., F, num_cepstral)."""
+    if _speechpy_pallas_ok(cfg):
+        return _mfcc_pallas_dispatch(signal, cfg)
     feats, energy = mfe(signal, cfg)
     feats = jnp.log(feats)
     out = dct2_ortho(feats, cfg)
     if cfg.dc_elimination:
         out = out.at[..., 0].set(jnp.log(energy))
     return out
+
+
+def _speechpy_pallas_ok(cfg: FeatureConfig) -> bool:
+    """Dispatch the fused speechpy-MFCC kernel (ops/pallas/speechpy_mfcc.py)
+    — currently ``pallas="force"`` ONLY: the kernel's dots run at Mosaic
+    HIGHEST (3-pass f32 ≈ precision "high"), so it is numerics-gated to the
+    "high" default, and auto-dispatch waits on the on-chip A/B vs the XLA
+    chunk-GEMM lowering (exp/fused_mfcc_ab.py; the r1 fused_frontend
+    precedent lost its A/B and was deleted — this one must prove the win
+    first)."""
+    if cfg.pallas != "force" or cfg.dtype != "float32":
+        return False
+    if cfg.precision != "high":
+        return False
+    from .ops.pallas.speechpy_mfcc import mfcc_pallas_supported
+
+    return mfcc_pallas_supported(cfg)
 
 
 def ssc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
@@ -398,18 +431,15 @@ def mel_spectrogram_librosa(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndar
 def _librosa_hoppad_ok(cfg: FeatureConfig) -> bool:
     """Dispatch :func:`_hoppad_frame_gemm` for the librosa mel fast tail:
     matmul DFT impl and a hop that does NOT divide the frame, with the
-    shifted-slice count r = ceil(frame/hop) bounded (<=8) so the fused-big
-    materialization stays a handful of contiguous copies (512/160 or
-    512/130 -> r=4; a tiny hop like 40 -> r=13 falls back to gather
-    framing)."""
+    shifted-slice count bounded by :func:`_chunk_r` (512/160 or 512/130 ->
+    r=4; a tiny hop like 40 -> r=13 falls back to gather framing)."""
     from .ops.spectrum import resolve_fft_impl
 
     if resolve_fft_impl(cfg) != "matmul" or cfg.fft_points % 2:
         return False
-    fl, hop = cfg.frame_size, cfg.frame_step
-    if fl % hop == 0:
+    if cfg.frame_size % cfg.frame_step == 0:
         return False
-    return -(-fl // hop) <= 8
+    return _chunk_r(cfg) is not None
 
 
 def _librosa_pallas_ok(cfg: FeatureConfig) -> bool:
@@ -470,6 +500,31 @@ def _mel_librosa_pallas_bwd(cfg, signal, g):
 
 
 _mel_librosa_pallas.defvjp(_mel_librosa_pallas_fwd, _mel_librosa_pallas_bwd)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _mfcc_pallas_dispatch(signal: jnp.ndarray, cfg: FeatureConfig):
+    """Fused speechpy-MFCC kernel forward with an XLA backward (same pattern
+    as _mel_librosa_pallas: pallas_call has no autodiff rule, so the VJP
+    recomputes through the mathematically-identical XLA chunk-GEMM path)."""
+    from .ops.pallas.speechpy_mfcc import mfcc_pallas
+
+    x = signal
+    if cfg.preemphasis_cof:
+        x = _framing.preemphasis(x, 1, cfg.preemphasis_cof)
+    return mfcc_pallas(x, cfg)
+
+
+def _mfcc_pallas_fwd(signal, cfg):
+    return _mfcc_pallas_dispatch(signal, cfg), signal
+
+
+def _mfcc_pallas_bwd(cfg, signal, g):
+    _, vjp = jax.vjp(lambda s: mfcc(s, cfg.replace(pallas="off")), signal)
+    return vjp(g)
+
+
+_mfcc_pallas_dispatch.defvjp(_mfcc_pallas_fwd, _mfcc_pallas_bwd)
 
 
 def _librosa_ct_ok(cfg: FeatureConfig) -> bool:

@@ -148,3 +148,62 @@ class TestCTMelKernel:
         assert np.isfinite(np.asarray(g)).all()
         np.testing.assert_allclose(np.asarray(g), np.asarray(gx),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestSpeechpyMFCCKernel:
+    """Fused speechpy-MFCC kernel (ops/pallas/speechpy_mfcc.py): interpret-
+    mode parity vs the XLA chunk-GEMM lowering (shared wall constants), all
+    heads fused — Parseval energies, zero_handling, log, DCT, dc-elim."""
+
+    CONFIGS = [
+        ("default 20/10", {}),
+        ("hoppad 25/10", {"frame_length": 0.025}),
+        ("preemph", {"preemphasis_cof": 0.97}),
+        ("no dc_elim", {"dc_elimination": False}),
+        ("frame==hop r=1", {"frame_length": 0.01}),
+    ]
+
+    def test_matches_xla(self, rng):
+        for name, kw in self.CONFIGS:
+            cfg = m.speechpy_config(16000).replace(**kw)
+            sig = jnp.asarray(
+                rng.normal(0, 0.1, (2, 16000)).astype(np.float32))
+            ref = np.asarray(F.mfcc(sig, cfg))
+            out = np.asarray(F.mfcc(sig, cfg.replace(pallas="force")))
+            assert out.shape == ref.shape, name
+            rel = np.abs(out - ref).max() / np.abs(ref).max()
+            assert rel < 1e-5, (name, rel)
+
+    def test_dispatch_gating(self):
+        from mfcc_rust_tpu.features import _speechpy_pallas_ok
+
+        base = m.speechpy_config(16000)
+        assert _speechpy_pallas_ok(base.replace(pallas="force"))
+        assert not _speechpy_pallas_ok(base)  # force-only until the A/B win
+        assert not _speechpy_pallas_ok(
+            base.replace(pallas="force", precision="highest"))  # 3-pass dots
+        assert not _speechpy_pallas_ok(
+            base.replace(pallas="force", window="hann"))
+        assert not _speechpy_pallas_ok(
+            base.replace(pallas="force", dtype="float64"))
+
+    def test_grad_matches_xla(self, rng):
+        import jax
+
+        cfg = m.speechpy_config(16000).replace(pallas="force")
+        sig = jnp.asarray(rng.normal(0, 0.1, 8000).astype(np.float32))
+        g = jax.grad(lambda s: F.mfcc(s, cfg).sum())(sig)
+        gx = jax.grad(
+            lambda s: F.mfcc(s, cfg.replace(pallas="off")).sum())(sig)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_short_and_batched(self, rng):
+        cfg = m.speechpy_config(16000).replace(pallas="force")
+        assert np.asarray(
+            F.mfcc(jnp.zeros(100, jnp.float32), cfg)).shape == (0, 13)
+        x3 = jnp.asarray(rng.normal(0, 0.1, (2, 3, 8000)).astype(np.float32))
+        out = np.asarray(F.mfcc(x3, cfg))
+        ref = np.asarray(F.mfcc(x3, cfg.replace(pallas="off")))
+        assert out.shape == ref.shape
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
