@@ -184,7 +184,7 @@ def _ct_mel_constants(cfg: FeatureConfig):
 
 def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, out_ref, *,
             tile_f, r, rows, n1, n2, k1max, mels, precision, c2, s2,
-            layout="chunks"):
+            layout="chunks", ablate=None):
     """c2/s2 (the tiny N2 x N2 stage-1 weight tables) are baked in as Python
     floats — each multiplies a whole (tile_f, N1) array, so they lower to
     scalar-broadcast VPU FMAs with no constant traffic at all.
@@ -219,6 +219,15 @@ def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, out_ref, *,
         term = x if w == 1.0 else (-x if w == -1.0 else x * w)
         return term if acc is None else acc + term
 
+    if ablate == "window":
+        # per-stage ablation (exp/ct_ablation.py): stop after DMA + window
+        acc = xw[0]
+        for q in range(1, n2):
+            acc = acc + xw[q]
+        out_ref[0] = acc[:, :mels] if mels <= n1 else jnp.concatenate(
+            [acc] * (-(-mels // n1)), axis=1)[:, :mels]
+        return
+
     h = n2 // 2
     u = [xw[q] + xw[n2 - q] for q in range(1, h)]
     v = [xw[q] - xw[n2 - q] for q in range(1, h)]
@@ -232,11 +241,34 @@ def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, out_ref, *,
         irs.append(ir)
         iis.append(ii)  # None for r2 in {0, h} (all sin weights are 0)
 
+    if ablate == "stage1":
+        acc = irs[0]
+        for r2 in range(1, h + 1):
+            acc = acc + irs[r2]
+            if iis[r2] is not None:
+                acc = acc + iis[r2]
+        out_ref[0] = acc[:, :mels] if mels <= n1 else jnp.concatenate(
+            [acc] * (-(-mels // n1)), axis=1)[:, :mels]
+        return
+
     # stage 2 (twiddle folded, Hermitian pairs merged) + |X|^2 + mel
     # projection — 2*(h+1) MXU GEMMs total (see _ct_mel_constants)
     def dot(x, w):
         return jnp.dot(x, w, preferred_element_type=jnp.float32,
                        precision=precision)
+
+    if ablate == "stage2":
+        acc = None
+        for idx, r2 in enumerate((0, h)):
+            o = dot(irs[r2], as_ref[idx])
+            part = o[:, :mels] if mels <= o.shape[1] else o[:, :1]
+            acc = part if acc is None else acc + part
+        for j, rr in enumerate(range(1, h)):
+            z = jnp.concatenate([irs[rr], iis[rr]], axis=1)
+            o = dot(z, abp_ref[j])
+            acc = acc + (o[:, :mels] if mels <= o.shape[1] else o[:, :1])
+        out_ref[0] = acc
+        return
 
     mel = None
     for idx, r2 in enumerate((0, h)):  # ii == 0 singles
@@ -258,6 +290,7 @@ def ct_mel_pallas(
     tile_f: int = 128,
     interpret: bool | None = None,
     parallel_batch: bool = True,
+    ablate: "str | None" = None,
 ) -> jnp.ndarray:
     """librosa mel spectrogram via the fused CT kernel:
     (..., T) -> (..., frames, n_mels) — NOTE frame-major (the caller swaps to
@@ -271,12 +304,12 @@ def ct_mel_pallas(
         raise ValueError("config not supported by the fused CT kernel")
     if signal.ndim == 1:
         return ct_mel_pallas(signal[None], cfg, tile_f, interpret,
-                             parallel_batch)[0]
+                             parallel_batch, ablate)[0]
     if signal.ndim > 2:
         lead = signal.shape[:-1]
         out = ct_mel_pallas(
             signal.reshape((-1, signal.shape[-1])), cfg, tile_f, interpret,
-            parallel_batch,
+            parallel_batch, ablate,
         )
         return out.reshape(lead + out.shape[1:])
 
@@ -348,7 +381,7 @@ def ct_mel_pallas(
     kern = functools.partial(
         _kernel, tile_f=tile_f, r=r, rows=rows, n1=n1, n2=n2, k1max=k1max,
         mels=mels, c2=c2, s2=s2,
-        layout="chunks" if chunked else "frames",
+        layout="chunks" if chunked else "frames", ablate=ablate,
         precision=(jax.lax.Precision.DEFAULT if cfg.precision == "default"
                    else jax.lax.Precision.HIGHEST),
     )
