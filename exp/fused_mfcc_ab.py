@@ -50,19 +50,20 @@ def main():
     print(f"XLA high, no energy pass : {v:9.0f} audio-s/s  spread {s:.3f}"
           "   <- bounds any fusion win", flush=True)
 
-    for tf in (256, 512, 1024):
-        from mfcc_rust_tpu.ops.pallas.speechpy_mfcc import mfcc_pallas
+    from mfcc_rust_tpu.ops.pallas.speechpy_mfcc import mfcc_pallas
 
-        try:
-            v, s = bench._slope_timer(
-                lambda x, tf=tf: mfcc_pallas(
-                    x.reshape(-1, t), cfg, tile_f=tf).sum(),
-                mk, audio_s)
-            print(f"fused kernel tile_f={tf:4d}: {v:9.0f} audio-s/s  "
-                  f"spread {s:.3f}", flush=True)
-        except Exception as e:
-            print(f"fused kernel tile_f={tf:4d}: FAILED "
-                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+    for fuse in (True, False):
+        for tf in (256, 512, 1024):
+            try:
+                v, s = bench._slope_timer(
+                    lambda x, tf=tf, fu=fuse: mfcc_pallas(
+                        x.reshape(-1, t), cfg, tile_f=tf, fuse_big=fu).sum(),
+                    mk, audio_s)
+                print(f"kernel fuse={int(fuse)} tile_f={tf:4d}: {v:9.0f} "
+                      f"audio-s/s  spread {s:.3f}", flush=True)
+            except Exception as e:
+                print(f"kernel fuse={int(fuse)} tile_f={tf:4d}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -306,12 +306,11 @@ def mfcc(signal: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 
 def _speechpy_pallas_ok(cfg: FeatureConfig) -> bool:
     """Dispatch the fused speechpy-MFCC kernel (ops/pallas/speechpy_mfcc.py)
-    — currently ``pallas="force"`` ONLY: the kernel's dots run at Mosaic
-    HIGHEST (3-pass f32 ≈ precision "high"), so it is numerics-gated to the
-    "high" default, and auto-dispatch waits on the on-chip A/B vs the XLA
-    chunk-GEMM lowering (exp/fused_mfcc_ab.py; the r1 fused_frontend
-    precedent lost its A/B and was deleted — this one must prove the win
-    first)."""
+    — ``pallas="force"`` ONLY, never auto: the on-chip A/B lost (0.63x the
+    XLA chunk-GEMM lowering on v5e, exp/fused_mfcc_ab_r04_results.txt; the
+    measured fusion-winnable pot is ~3%).  The kernel's dots run at Mosaic
+    HIGHEST (3-pass f32 ≈ precision "high"), so it is numerics-gated to
+    the "high" default."""
     if cfg.pallas != "force" or cfg.dtype != "float32":
         return False
     if cfg.precision != "high":

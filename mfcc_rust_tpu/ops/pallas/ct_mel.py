@@ -167,6 +167,17 @@ def _ct_mel_constants(cfg: FeatureConfig):
     # (re/im-duplicated projection — only two of these, keep them simple)
     a_single = np.stack([a[0], a[h]])
     proj_single = np.stack([dup(0), dup(h)])
+    # ONE-GEMM projection (r4, exp/ct_ablation_r04): the per-residue
+    # projection dots accumulate serially into mel — measured HALF the
+    # kernel's runtime (the dependency chain stalls the MXU on every small
+    # GEMM).  Concatenating the per-residue power blocks
+    # [p_0 | p_h | pair_1 .. pair_{h-1}] lets ONE K=(h+1)·2·k1max dot do
+    # the whole projection with the accumulation folded into the MXU's
+    # K-dimension — same FLOPs, no chain.  Row order must match the
+    # kernel's powers list.
+    proj_all = np.concatenate(
+        [dup(0), dup(h)] + [proj_pairs[j] for j in range(h - 1)], axis=0
+    ) if h > 1 else np.concatenate([dup(0), dup(h)], axis=0)
 
     def snap(w):
         """Roots-of-unity weights as exact scalars: 0 / +-1 multiplies
@@ -179,12 +190,13 @@ def _ct_mel_constants(cfg: FeatureConfig):
 
     f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)
     return (f32(win), snap(c2), snap(s2), f32(ab_pairs), f32(a_single),
-            f32(proj_pairs), f32(proj_single), n1, n2, k1max, mels)
+            f32(proj_pairs), f32(proj_single), f32(proj_all), n1, n2,
+            k1max, mels)
 
 
-def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, out_ref, *,
-            tile_f, r, rows, n1, n2, k1max, mels, precision, c2, s2,
-            layout="chunks", ablate=None):
+def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, pall_ref,
+            out_ref, *, tile_f, r, rows, n1, n2, k1max, mels, precision,
+            c2, s2, layout="chunks", ablate=None):
     """c2/s2 (the tiny N2 x N2 stage-1 weight tables) are baked in as Python
     floats — each multiplies a whole (tile_f, N1) array, so they lower to
     scalar-broadcast VPU FMAs with no constant traffic at all.
@@ -270,18 +282,22 @@ def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, out_ref, *,
         out_ref[0] = acc
         return
 
-    mel = None
+    # per-residue power blocks, then ONE projection GEMM over their lane
+    # concatenation (exp/ct_ablation_r04: the chained per-residue
+    # projection dots were HALF the kernel's runtime — the MXU stalls on
+    # every small accumulate; folding the residue sum into the K dimension
+    # of a single (h+1)·2·k1max contraction removes the chain)
+    powers = []
     for idx, r2 in enumerate((0, h)):  # ii == 0 singles
         o = dot(irs[r2], as_ref[idx])
-        part = dot(o * o, ps_ref[idx])
-        mel = part if mel is None else mel + part
+        powers.append(o * o)  # re/im-dup rows in pall handle the sum
     for j, rr in enumerate(range(1, h)):  # merged (rr, n2-rr) pairs
         z = jnp.concatenate([irs[rr], iis[rr]], axis=1)  # (tile_f, 2*n1)
         o = dot(z, abp_ref[j])  # [re|re'|im|im'], (tile_f, 4*k1max)
         sq = o * o
-        power = sq[:, : 2 * k1max] + sq[:, 2 * k1max :]  # [bins_rr|bins_rr']
-        mel = mel + dot(power, pp_ref[j])
-    out_ref[0] = mel
+        powers.append(sq[:, : 2 * k1max] + sq[:, 2 * k1max :])
+    pw = powers[0] if len(powers) == 1 else jnp.concatenate(powers, axis=1)
+    out_ref[0] = dot(pw, pall_ref[...])
 
 
 def ct_mel_pallas(
@@ -313,7 +329,7 @@ def ct_mel_pallas(
         )
         return out.reshape(lead + out.shape[1:])
 
-    (win, c2, s2, ab_pairs, a_single, proj_pairs, proj_single,
+    (win, c2, s2, ab_pairs, a_single, proj_pairs, proj_single, proj_all,
      n1, n2, k1max, mels) = _ct_mel_constants(cfg)
     n = cfg.fft_points
     hop = cfg.frame_step
@@ -398,6 +414,7 @@ def ct_mel_pallas(
             const(a_single.shape),
             const(proj_pairs.shape),
             const(proj_single.shape),
+            const(proj_all.shape),
         ],
         out_specs=pl.BlockSpec((1, tile_f, mels), lambda bb, ii: (bb, ii, 0),
                                memory_space=pltpu.VMEM),
@@ -418,5 +435,6 @@ def ct_mel_pallas(
         jnp.asarray(win),
         jnp.asarray(ab_pairs), jnp.asarray(a_single),
         jnp.asarray(proj_pairs), jnp.asarray(proj_single),
+        jnp.asarray(proj_all),
     )
     return out[:, :count]

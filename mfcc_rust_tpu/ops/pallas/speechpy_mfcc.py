@@ -24,12 +24,15 @@ read in VMEM:
 HBM traffic: one signal read + a 13-float-per-frame write (the XLA path
 writes/reads the 262-wide y intermediate and re-reads the signal).
 
-Dispatch: ``pallas="force"`` only until the on-chip A/B (exp/fused_mfcc_ab
-.py) proves a win over the XLA lowering; numerics are fuzz-gated against it
-(tests/test_pallas.py) and the VJP recomputes through XLA.  Replaces the
-round-1 fused_frontend kernel that lost its A/B at ``precision=highest``
-(deleted r3) — at "highest" the pipeline is FLOP-bound and a fused kernel
-cannot win; at "high" the serial non-GEMM work is back on the table.
+Dispatch: ``pallas="force"`` only — the on-chip A/B **lost**
+(exp/fused_mfcc_ab_r04_results.txt, v5e): best kernel config 640k
+audio-s/s vs 1,012k for the XLA lowering (0.63x), and the directly
+measured fusion-winnable pot is only ~3% (dc_elimination=False runs
+1,040k — XLA overlaps the Parseval re-read far better than the r3
+accounting assumed).  The kernel stays as the reproducible refutation
+evidence (VERDICT r3 #4) and for TPU generations where the tradeoff may
+differ; numerics are fuzz-gated against the XLA path
+(tests/test_pallas.py) and the VJP recomputes through XLA.
 
 Reference scope: the mfcc/mfe pipeline of speechsauce/src/feature.rs:94-233
 (semantics via the shared wall constants; bugs fixed per SURVEY §4).
@@ -100,32 +103,48 @@ def _mfcc_constants(cfg: FeatureConfig):
 
 
 def _kernel(ch_ref, wall_ref, proj_ref, dct_ref, emask_ref, out_ref, *,
-            tile_f, r, hop, n, m, ncep, dc_elim, eps):
+            tile_f, r, hop, n, m, ncep, dc_elim, eps, fuse_big=True):
     i = pl.program_id(1)
     base = pl.multiple_of(i * tile_f, tile_f)
     pad_r = -(-(r - 1) // 8) * 8 if r > 1 else 0
     slab = ch_ref[0, pl.ds(base, tile_f + pad_r), :]
-    if r > 1:
-        big = jnp.concatenate(
-            [slab[s : s + tile_f, :] for s in range(r)], axis=1
-        )  # (tile_f, r*hop) — the fused chunk-GEMM operand, built in VMEM
-    else:
-        big = slab
+    rows = tile_f + pad_r
+    # the r shifted views slab[s : s+tile_f]: a direct sub-slice carries a
+    # sublane offset Mosaic cannot lane-concatenate ("offset mismatch on
+    # non-concat dimension"), so realign each view to offset 0 with a
+    # static sublane rotate first
+    xs = [slab[:tile_f, :]]
+    for s in range(1, r):
+        xs.append(pltpu.roll(slab, rows - s, axis=0)[:tile_f, :])
 
-    def dot(x, wref):
-        return jnp.dot(x, wref[...], preferred_element_type=jnp.float32,
+    def dot(x, w):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
 
-    y = dot(big, wall_ref)  # (tile_f, W) = [xr | xi | s0 | s1]
-    # Parseval frame energy from the operand already in VMEM:
-    # (N·Σx² + X0² + X_{N/2}²) / 2N, Σ over true frame samples only
-    s2 = jnp.sum(big * big * emask_ref[0, :][None, :], axis=1,
-                 keepdims=True)  # (tile_f, 1)
-    p = dot(y * y, proj_ref)  # (tile_f, M+1): mel·N⁻¹ lanes + (y0²+y1²)
+    if fuse_big and r > 1:
+        # fused chunk-GEMM operand: ONE K=r*hop dot (the XLA dispatch rule
+        # for MXU-misaligned hops, features._chunk_gemm)
+        big = jnp.concatenate(xs, axis=1)  # (tile_f, r*hop)
+        y = dot(big, wall_ref[...])  # (tile_f, W) = [xr | xi | s0 | s1]
+        s2 = jnp.sum(big * big * emask_ref[0, :][None, :], axis=1,
+                     keepdims=True)
+    else:
+        # r shifted K=hop dots against the wall's row blocks
+        y = None
+        s2 = None
+        for s in range(r):
+            part = dot(xs[s], wall_ref[s * hop : (s + 1) * hop, :])
+            y = part if y is None else y + part
+            e = jnp.sum(
+                xs[s] * xs[s] * emask_ref[0, s * hop : (s + 1) * hop][None, :],
+                axis=1, keepdims=True,
+            )
+            s2 = e if s2 is None else s2 + e
+    p = dot(y * y, proj_ref[...])  # (tile_f, M+1): mel·N⁻¹ + (y0²+y1²)
     en = (n * s2 + p[:, m : m + 1]) * (1.0 / (2.0 * n))
     pm = p[:, :m]
     pm = jnp.where(pm == 0.0, eps, pm)  # zero_handling (f32 epsilon)
-    mf = dot(jnp.log(pm), dct_ref)  # (tile_f, C)
+    mf = dot(jnp.log(pm), dct_ref[...])  # (tile_f, C)
     if dc_elim:
         en = jnp.where(en == 0.0, eps, en)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_f, ncep), 1)
@@ -138,6 +157,7 @@ def mfcc_pallas(
     cfg: FeatureConfig,
     tile_f: int = 512,
     interpret: bool | None = None,
+    fuse_big: bool = True,
 ) -> jnp.ndarray:
     """speechpy MFCC via the fused kernel: (..., T) -> (..., F, num_cepstral)
     with the speechpy zero_padding=False frame count.  Preemphasis (when
@@ -146,11 +166,12 @@ def mfcc_pallas(
     if not mfcc_pallas_supported(cfg):
         raise ValueError("config not supported by the fused MFCC kernel")
     if signal.ndim == 1:
-        return mfcc_pallas(signal[None], cfg, tile_f, interpret)[0]
+        return mfcc_pallas(signal[None], cfg, tile_f, interpret,
+                           fuse_big)[0]
     if signal.ndim > 2:
         lead = signal.shape[:-1]
         out = mfcc_pallas(signal.reshape((-1, signal.shape[-1])), cfg,
-                          tile_f, interpret)
+                          tile_f, interpret, fuse_big)
         return out.reshape(lead + out.shape[1:])
 
     wall, proj, dctm, emask, r, hop, fl = _mfcc_constants(cfg)
@@ -174,7 +195,7 @@ def mfcc_pallas(
     kern = functools.partial(
         _kernel, tile_f=tile_f, r=r, hop=hop, n=cfg.fft_points, m=m,
         ncep=ncep, dc_elim=cfg.dc_elimination,
-        eps=float(np.finfo(np.float32).eps),
+        eps=float(np.finfo(np.float32).eps), fuse_big=fuse_big,
     )
     const = lambda shape: pl.BlockSpec(
         shape, lambda bb, ii: (0,) * len(shape), memory_space=pltpu.VMEM
