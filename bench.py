@@ -436,13 +436,18 @@ def corpus(n_files: int = 192, seed: int = 0):
             paths.append(p)
             total_audio += len(clip) / 16000.0
 
-        def run(out_dir, wire_dtype=None):
+        def run(out_dir, wire_dtype=None, pool_growth=None):
             # Tunnel bytes both ways are the measured bottleneck: packed
             # unpadded int16 PCM up (pack_signals), packed valid-frame
-            # buffers down (packed_output default; optional 16-bit wire).
+            # buffers down (packed_output default; optional 16-bit wire;
+            # optional mixed-length pooling to amortize per-call fixed
+            # round trips).
+            # fetch_every=4: grouped fetches amortize the per-call D2H
+            # round trip (+10% measured, exp/corpus_fixed_cost_ab_r04)
             r = CorpusRunner(paths, cfg, mesh, batch_size=128,
                              out_dir=out_dir, n_io_threads=8,
-                             wire_dtype=wire_dtype)
+                             wire_dtype=wire_dtype, fetch_every=4,
+                             pool_growth=pool_growth)
             t0 = time.perf_counter()
             r.run()
             return time.perf_counter() - t0, r.meter
@@ -460,6 +465,11 @@ def corpus(n_files: int = 192, seed: int = 0):
             n_fg = c.get("fetch_groups", 0.0)
             pred_h2d = h2d_b / link["h2d_bw"] + n_disp * link["h2d_fixed"]
             pred_d2h = d2h_b / link["d2h_bw"] + n_fg * link["d2h_fixed"]
+            # transfers pipeline through the async dispatch: the H2D time
+            # hides inside the fetch wait, so the meaningful comparison is
+            # TOTAL predicted transfer seconds vs dispatch+fetch scopes
+            fixed_s = (n_disp * link["h2d_fixed"] + n_fg * link["d2h_fixed"])
+            byte_s = h2d_b / link["h2d_bw"] + d2h_b / link["d2h_bw"]
             # byte-only ceiling: fixed costs are amortizable (bigger fetch
             # groups), bytes are not — directions serialize on this tunnel
             ceiling = total_audio / (h2d_b / link["h2d_bw"]
@@ -476,14 +486,17 @@ def corpus(n_files: int = 192, seed: int = 0):
                 "wall_s": round(wall, 3),
                 "scopes_s": {k: round(v, 3) for k, v in sc.items()},
                 "unattributed_s": round(wall - accounted, 3),
+                "pred_transfer_total_s": round(pred_h2d + pred_d2h, 3),
+                "pred_transfer_byte_s": round(byte_s, 3),
+                "pred_transfer_fixed_s": round(fixed_s, 3),
+                "actual_dispatch_plus_fetch_s": round(
+                    sc.get("dispatch", 0) + sc.get("fetch", 0), 3),
                 "h2d": {"bytes_mb": round(h2d_b / 1e6, 2),
                         "calls": int(n_disp),
-                        "pred_s": round(pred_h2d, 3),
-                        "actual_dispatch_s": round(sc.get("dispatch", 0), 3)},
+                        "pred_s": round(pred_h2d, 3)},
                 "d2h": {"bytes_mb": round(d2h_b / 1e6, 2),
                         "calls": int(n_fg),
-                        "pred_s": round(pred_d2h, 3),
-                        "actual_fetch_s": round(sc.get("fetch", 0), 3)},
+                        "pred_s": round(pred_d2h, 3)},
                 "link": {k: round(v, 4) if "fixed" in k else round(v / 1e6, 1)
                          for k, v in link.items()},
                 "wire_ceiling_audio_s_per_s": round(ceiling, 1),
@@ -492,9 +505,21 @@ def corpus(n_files: int = 192, seed: int = 0):
             }))
             return ceiling
 
+        def timed(tag, **kw):
+            # median of 3 timed passes: single corpus walls swing with the
+            # tunnel's ~2x link variance (CLAUDE.md); the wire model uses
+            # the median run's meter
+            runs = []
+            for rep in range(3):
+                d = f"{tmp}/{tag}{rep}"
+                runs.append(run(d, **kw))
+                shutil.rmtree(d)
+            runs.sort(key=lambda r: r[0])
+            return runs[1]
+
         run(f"{tmp}/warm")  # compile all buckets (f32 wire)
         shutil.rmtree(f"{tmp}/warm")
-        wall, meter = run(f"{tmp}/out")
+        wall, meter = timed("out")
         _emit(
             "audio_seconds_per_sec_per_chip (corpus end-to-end: decode+"
             "prefetch+extract+npy)",
@@ -524,13 +549,19 @@ def corpus(n_files: int = 192, seed: int = 0):
         # — test_packed_output_wire_f16 / test_runner_wire_f16_outputs)
         run(f"{tmp}/warm16", wire_dtype="float16")
         shutil.rmtree(f"{tmp}/warm16")
-        wall16, meter16 = run(f"{tmp}/out16", wire_dtype="float16")
+        wall16, meter16 = timed("out16", wire_dtype="float16")
         _emit(
             "audio_seconds_per_sec_per_chip (corpus end-to-end, f16 feature "
             "wire)",
             total_audio / wall16,
         )
         wire_model(wall16, meter16, "f16 wire")
+        # (a coarse length-band pooling config was tried and REMOVED from
+        # this bench: cutting the dispatch count to ~4 via pool_growth=2.5
+        # measured 1137 vs 1164 audio-s/s at fetch_every=1 and collapsed
+        # to 456 with grouped fetches — the on-device (B, T) unpack gather
+        # pays per PADDED element, eating the fixed-cost savings.  The
+        # knob remains on CorpusRunner with that caveat documented.)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fetch-threads", type=int, default=2,
                    help="concurrent device->host fetches (0 = synchronous);"
                         " results are consumed in dispatch order regardless")
+    p.add_argument("--pool-growth", type=float, default=None,
+                   help="coarse geometric band grid for batch pooling "
+                        "(e.g. 2.5): fewer device round trips on "
+                        "remote-attached chips; default pools on the fine "
+                        "bucket grid")
     p.add_argument("--wire-dtype", default=None,
                    choices=["float16", "bfloat16"],
                    help="16-bit device->host feature wire (halves D2H "
@@ -147,6 +152,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         fetch_every=args.fetch_every,
         fetch_threads=args.fetch_threads,
         wire_dtype=args.wire_dtype,
+        pool_growth=args.pool_growth,
         on_batch=None if args.quiet else (
             lambda info: print(json.dumps({"batch": info}), file=sys.stderr)
         ),

@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax>=0.4.35 exposes shard_map at top level
@@ -438,13 +439,11 @@ def unpack_resample(flat, offsets, lengths_src, t_src: int, up: int,
                     down: int, mesh: Mesh):
     """Device entry for the packed mixed-rate path: returns the resampled
     (B, t_src*up//down) float32 DEVICE array, rows sharded on the data axis."""
-    flat = jax.device_put(flat, NamedSharding(mesh, P()))
-    offsets = jax.device_put(
-        jnp.asarray(offsets, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
-    )
-    lengths_src = jax.device_put(
-        jnp.asarray(lengths_src, jnp.int32),
-        NamedSharding(mesh, P(DATA_AXIS)),
+    flat, offsets, lengths_src = jax.device_put(
+        (flat, np.asarray(offsets, np.int32),
+         np.asarray(lengths_src, np.int32)),
+        (NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS)),
+         NamedSharding(mesh, P(DATA_AXIS))),
     )
     return _unpack_resample_impl(flat, offsets, lengths_src, t_src, up, down)
 
@@ -571,12 +570,14 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
         raise ValueError(
             f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
         )
-    flat = jax.device_put(flat, NamedSharding(mesh, P()))
-    offsets = jax.device_put(
-        jnp.asarray(offsets, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
-    )
-    lengths = jax.device_put(
-        jnp.asarray(lengths, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
+    # ONE device_put for all three host arrays: through a remote-attached
+    # chip every put pays a fixed ~24 ms round trip (measured r4,
+    # exp/corpus_fixed_cost_ab_r04_results.txt: 3 separate puts 93 ms vs
+    # one 46 ms), so the batch's transfers ship as a single pytree call
+    flat, offsets, lengths = jax.device_put(
+        (flat, np.asarray(offsets, np.int32), np.asarray(lengths, np.int32)),
+        (NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS)),
+         NamedSharding(mesh, P(DATA_AXIS))),
     )
     key = tuple(feature) if multi else feature
     if frame_counts is not None:
@@ -739,9 +740,10 @@ def extraction_step(
         raise ValueError(
             f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
         )
-    signals = jax.device_put(signals, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)))
-    lengths = jax.device_put(
-        jnp.asarray(lengths, jnp.int32), NamedSharding(mesh, P(DATA_AXIS))
+    signals, lengths = jax.device_put(
+        (signals, np.asarray(lengths, np.int32)),
+        (NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)),
+         NamedSharding(mesh, P(DATA_AXIS))),
     )
     key = tuple(feature) if multi else feature
     if frame_counts is not None:

@@ -173,6 +173,7 @@ class CorpusRunner:
         write_threads: int = 2,
         packed_output: bool = True,
         wire_dtype: Optional[str] = None,
+        pool_growth: Optional[float] = None,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -291,6 +292,21 @@ class CorpusRunner:
         self.wire_dtype = wire_dtype
         if wire_dtype is not None and not self.packed_output:
             raise ValueError("wire_dtype requires packed_output=True")
+        # pool_growth=None (default): batches pool per (rate, length
+        # bucket) on the fine default grid — a 1 s clip never pads to a
+        # 35 s neighbor.  Right for locally-attached chips.  A float
+        # (e.g. 2.5) pools on a COARSER geometric band grid; each batch
+        # still dispatches at the fine bucket of its own longest clip.
+        # Right for remote-attached chips, where every dispatch+fetch
+        # pays a fixed ~50 ms round trip that dominates the wall
+        # (measured r4: 13 calls x 52 ms = half the corpus wall with the
+        # fine grid).  Coarse banding amortizes those fixed costs while
+        # bounding the padding amplification of the on-device unpack
+        # gather — a SINGLE mixed-length pool was measured slower (896 vs
+        # 1179 audio-s/s): padding is free on the wire (packed transfers
+        # both ways) but the (B, T) rebuild gather costs per PADDED
+        # element, and a 1 s clip in a 35 s batch gathers 35x its samples.
+        self.pool_growth = pool_growth
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -609,11 +625,12 @@ class CorpusRunner:
                     if self.store is not None:
                         self.store.done[todo[j]] = True
                     continue
-                # pools key on (rate, length bucket): batches are same-bucket,
-                # so a 1 s clip never pads to a 35 s neighbor (padding waste
-                # bounded by the bucket grid's ~25%) and compiled shapes stay
-                # few
-                key = (sr, bucket_length(len(samples)))
+                # pools key on (rate, length bucket); wire-optimized runs
+                # use a coarser band grid (pool_growth) — see __init__
+                key = (sr, bucket_length(len(samples))
+                       if self.pool_growth is None
+                       else bucket_length(len(samples),
+                                          growth=self.pool_growth))
                 pool = pending.setdefault(key, [])
                 pool.append((j, samples, meta))
                 if len(pool) >= self.batch_size:

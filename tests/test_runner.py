@@ -205,6 +205,25 @@ def test_runner_wire_f16_outputs(corpus, tmp_path):
                      wire_dtype="float16")
 
 
+def test_runner_wire_pooling_outputs_match(corpus, tmp_path):
+    """pool_growth (wire-optimized coarse length bands): identical
+    per-utterance outputs — a frame's values depend only on its own
+    window, so batching a 1 s clip with a longer neighbor changes padding,
+    not results.  Moments agree to merge-order tolerance."""
+    paths, _ = corpus
+    mesh = make_mesh(n_data=4, n_seq=2)
+    out_a, out_b = tmp_path / "bucketed", tmp_path / "pooled"
+    mom_a = CorpusRunner(paths, CFG, mesh, batch_size=4,
+                         out_dir=str(out_a)).run()
+    mom_b = CorpusRunner(paths, CFG, mesh, batch_size=4, out_dir=str(out_b),
+                         pool_growth=2.5).run()
+    for p in sorted(out_a.iterdir()):
+        np.testing.assert_array_equal(np.load(p), np.load(out_b / p.name))
+    np.testing.assert_allclose(np.asarray(mom_a.mean),
+                               np.asarray(mom_b.mean), rtol=1e-5, atol=1e-6)
+    assert int(mom_a.count) == int(mom_b.count)
+
+
 def test_runner_rejects_wrong_sample_rate(tmp_path, rng):
     p = tmp_path / "bad_sr.wav"
     write_wav(str(p), rng.normal(0, 0.1, 8000).astype(np.float32), 8000)
