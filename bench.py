@@ -328,7 +328,11 @@ def main():
     from mfcc_rust_tpu import FeatureConfig, features
 
     cfg = FeatureConfig(sample_rate=16000)
-    batch, seconds = 64, 10
+    # batch 48: the r4 batch sweep (exp/headline_batch_sweep_r04_results
+    # .txt) peaks at B~16-48 (1175-1237k audio-s/s) and DROPS at the old
+    # B=64 (1015k) and B=128 (940k) — larger batches inflate the y
+    # intermediate past what the HBM scheduler hides
+    batch, seconds = 48, 10
     t = seconds * cfg.sample_rate
     rng = np.random.default_rng(0)
 

@@ -61,14 +61,29 @@ def measure(make_fn, shape=(B, T), work_per_iter=None, target_ms=250.0,
         return time.perf_counter() - t0
 
     per = timed(32) / 32
-    r2 = max(64, int(target_ms / 1e3 / per))
-    r1 = max(8, r2 // 5)
-    vals = []
-    for _ in range(n_slopes):
-        vals.append((timed(r2) - timed(r1)) / (r2 - r1))
-    vals.sort()
-    med = vals[len(vals) // 2]
-    return med, (vals[-1] - vals[0]) / med
+
+    def one(tms):
+        r2 = max(64, int(tms / 1e3 / per))
+        r1 = max(8, r2 // 5)
+        vals = []
+        for _ in range(n_slopes):
+            vals.append((timed(r2) - timed(r1)) / (r2 - r1))
+        vals.sort()
+        med = vals[len(vals) // 2]
+        return med, (vals[-1] - vals[0]) / med
+
+    # spread discipline (VERDICT r3 #5, same rule as bench._slope_timer):
+    # retry with a doubled differential until <= 15% or two retries spent
+    med, spread = one(target_ms)
+    tms = target_ms
+    for _ in range(2):
+        if spread <= 0.15:
+            break
+        tms *= 2.0
+        m2, s2 = one(tms)
+        if s2 < spread:
+            med, spread = m2, s2
+    return med, spread
 
 
 cfg = FeatureConfig(sample_rate=16000)
