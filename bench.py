@@ -177,7 +177,8 @@ def suite():
     from mfcc_rust_tpu import vorbis_config
 
     vcfg = vorbis_config(16000)
-    bv, tv = 64, 160000
+    # B=48: +22% over the old B=64 (exp/suite_batch_tune_r04_results.txt)
+    bv, tv = 48, 160000
     v, s = _slope_timer(
         lambda x: features.mel_spectrogram(x, vcfg).sum(),
         lambda k: jnp.asarray(
@@ -248,7 +249,8 @@ def suite():
 
     # strict mode A/B: precision=highest (6-pass full f32; default is high)
     cfg_strict = FeatureConfig(sample_rate=16000, precision="highest")
-    bh, th = 64, 160000
+    # B=48: +17% over the old B=64 (exp/suite_batch_tune_r04_results.txt)
+    bh, th = 48, 160000
     v, s = _slope_timer(
         lambda x: features.mfcc(x, cfg_strict).sum(),
         lambda k: jnp.asarray(
@@ -275,7 +277,9 @@ def suite():
     # config 3: full feature suite (MFE + log-FBE + SSC + MFCC) on a padded
     # batch, via the single-frontend-pass multi-feature API
     cfg = FeatureConfig(sample_rate=16000)
-    b3, t3 = 64, 160000
+    # B=32: +15% over the old B=64 with a tight spread
+    # (exp/suite_batch_tune_r04_results.txt)
+    b3, t3 = 32, 160000
 
     def full_suite(x):
         out = features.extract(x, cfg, which=("mfcc", "lmfe", "mfe", "ssc"))
