@@ -511,8 +511,10 @@ def pack_signals(clips, b_pad: int, mesh: Mesh, flat_align: int = 2048,
 
 
 def _frame_pack_args(frame_counts, mesh, pack_align: int = 512):
-    """(exclusive-cumsum offsets replicated on device, static bucketed packed
-    row count) for the packed-output epilogue."""
+    """(HOST exclusive-cumsum frame offsets, static bucketed packed row
+    count) for the packed-output epilogue.  The offsets ship inside the
+    caller's single pytree device_put — a separate put here would pay its
+    own ~24 ms tunnel round trip per batch (r4 wire model)."""
     import numpy as np
 
     from ..utils.bucketing import bucket_length
@@ -521,8 +523,7 @@ def _frame_pack_args(frame_counts, mesh, pack_align: int = 512):
     offs = np.zeros(counts.shape[0], dtype=np.int32)
     np.cumsum(counts[:-1], out=offs[1:])
     n_pk = bucket_length(max(int(counts.sum()), 1), min_bucket=pack_align)
-    dev_offs = jax.device_put(offs, NamedSharding(mesh, P()))
-    return dev_offs, n_pk
+    return offs, n_pk
 
 
 def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
@@ -570,24 +571,29 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
         raise ValueError(
             f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
         )
-    # ONE device_put for all three host arrays: through a remote-attached
-    # chip every put pays a fixed ~24 ms round trip (measured r4,
-    # exp/corpus_fixed_cost_ab_r04_results.txt: 3 separate puts 93 ms vs
-    # one 46 ms), so the batch's transfers ship as a single pytree call
-    flat, offsets, lengths = jax.device_put(
-        (flat, np.asarray(offsets, np.int32), np.asarray(lengths, np.int32)),
-        (NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS)),
-         NamedSharding(mesh, P(DATA_AXIS))),
-    )
     key = tuple(feature) if multi else feature
+    frame_offs_host = None
     if frame_counts is not None:
-        frame_offsets, n_pk = _frame_pack_args(frame_counts, mesh)
+        frame_offs_host, n_pk = _frame_pack_args(frame_counts, mesh)
+    elif wire_dtype is not None:
+        raise ValueError("wire_dtype requires packed outputs (frame_counts)")
+    # ONE device_put for every host array of the batch (each separate put
+    # pays a fixed ~24 ms tunnel round trip — r4 wire model)
+    arrays = [flat, np.asarray(offsets, np.int32),
+              np.asarray(lengths, np.int32)]
+    shardings = [NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS)),
+                 NamedSharding(mesh, P(DATA_AXIS))]
+    if frame_offs_host is not None:
+        arrays.append(frame_offs_host)
+        shardings.append(NamedSharding(mesh, P()))
+    put = jax.device_put(tuple(arrays), tuple(shardings))
+    if frame_counts is not None:
+        flat, offsets, lengths, frame_offsets = put
         return _extraction_step_packed_out_impl(
             flat, offsets, lengths, frame_offsets, t, n_pk, cfg, key, mesh,
             wire_dtype,
         )
-    if wire_dtype is not None:
-        raise ValueError("wire_dtype requires packed outputs (frame_counts)")
+    flat, offsets, lengths = put
     return _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, key,
                                         mesh)
 
@@ -740,19 +746,24 @@ def extraction_step(
         raise ValueError(
             f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
         )
-    signals, lengths = jax.device_put(
-        (signals, np.asarray(lengths, np.int32)),
-        (NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)),
-         NamedSharding(mesh, P(DATA_AXIS))),
-    )
     key = tuple(feature) if multi else feature
     if frame_counts is not None:
-        frame_offsets, n_pk = _frame_pack_args(frame_counts, mesh)
+        frame_offs_host, n_pk = _frame_pack_args(frame_counts, mesh)
+        signals, lengths, frame_offsets = jax.device_put(
+            (signals, np.asarray(lengths, np.int32), frame_offs_host),
+            (NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)),
+             NamedSharding(mesh, P(DATA_AXIS)), NamedSharding(mesh, P())),
+        )
         return _extraction_step_out_impl(
             signals, lengths, frame_offsets, n_pk, cfg, key, mesh, wire_dtype
         )
     if wire_dtype is not None:
         raise ValueError("wire_dtype requires packed outputs (frame_counts)")
+    signals, lengths = jax.device_put(
+        (signals, np.asarray(lengths, np.int32)),
+        (NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)),
+         NamedSharding(mesh, P(DATA_AXIS))),
+    )
     if multi:
         return _extraction_step_multi_impl(signals, lengths, cfg, key, mesh)
     return _extraction_step_impl(signals, lengths, cfg, feature, mesh)
