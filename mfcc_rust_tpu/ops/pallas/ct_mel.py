@@ -178,6 +178,14 @@ def _ct_mel_constants(cfg: FeatureConfig):
     proj_all = np.concatenate(
         [dup(0), dup(h)] + [proj_pairs[j] for j in range(h - 1)], axis=0
     ) if h > 1 else np.concatenate([dup(0), dup(h)], axis=0)
+    # "fold_preadd" variant: project the RAW squares [re|re'|im|im'] of each
+    # pair (no VPU power pre-add, no lane slicing) — rows [pp_j; pp_j] make
+    # the re+im sum part of the same K-contraction.  2x the projection K
+    # for fewer VPU/vreg passes; A/B'd on-chip (exp/ct_preadd_ab.py).
+    proj_all2 = np.concatenate(
+        [dup(0), dup(h)] + [np.concatenate([proj_pairs[j]] * 2, axis=0)
+                            for j in range(h - 1)], axis=0
+    ) if h > 1 else np.concatenate([dup(0), dup(h)], axis=0)
 
     def snap(w):
         """Roots-of-unity weights as exact scalars: 0 / +-1 multiplies
@@ -190,13 +198,13 @@ def _ct_mel_constants(cfg: FeatureConfig):
 
     f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)
     return (f32(win), snap(c2), snap(s2), f32(ab_pairs), f32(a_single),
-            f32(proj_pairs), f32(proj_single), f32(proj_all), n1, n2,
-            k1max, mels)
+            f32(proj_pairs), f32(proj_single), f32(proj_all),
+            f32(proj_all2), n1, n2, k1max, mels)
 
 
 def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, pall_ref,
             out_ref, *, tile_f, r, rows, n1, n2, k1max, mels, precision,
-            c2, s2, layout="chunks", ablate=None):
+            c2, s2, layout="chunks", ablate=None, fold_preadd=False):
     """c2/s2 (the tiny N2 x N2 stage-1 weight tables) are baked in as Python
     floats — each multiplies a whole (tile_f, N1) array, so they lower to
     scalar-broadcast VPU FMAs with no constant traffic at all.
@@ -295,7 +303,10 @@ def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, pall_ref,
         z = jnp.concatenate([irs[rr], iis[rr]], axis=1)  # (tile_f, 2*n1)
         o = dot(z, abp_ref[j])  # [re|re'|im|im'], (tile_f, 4*k1max)
         sq = o * o
-        powers.append(sq[:, : 2 * k1max] + sq[:, 2 * k1max :])
+        if fold_preadd:
+            powers.append(sq)  # re+im sum rides the projection's K dim
+        else:
+            powers.append(sq[:, : 2 * k1max] + sq[:, 2 * k1max :])
     pw = powers[0] if len(powers) == 1 else jnp.concatenate(powers, axis=1)
     out_ref[0] = dot(pw, pall_ref[...])
 
@@ -303,10 +314,11 @@ def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, pall_ref,
 def ct_mel_pallas(
     signal: jnp.ndarray,
     cfg: FeatureConfig,
-    tile_f: int = 128,
+    tile_f: int = 256,
     interpret: bool | None = None,
     parallel_batch: bool = True,
     ablate: "str | None" = None,
+    fold_preadd: bool = False,
 ) -> jnp.ndarray:
     """librosa mel spectrogram via the fused CT kernel:
     (..., T) -> (..., frames, n_mels) — NOTE frame-major (the caller swaps to
@@ -320,17 +332,19 @@ def ct_mel_pallas(
         raise ValueError("config not supported by the fused CT kernel")
     if signal.ndim == 1:
         return ct_mel_pallas(signal[None], cfg, tile_f, interpret,
-                             parallel_batch, ablate)[0]
+                             parallel_batch, ablate, fold_preadd)[0]
     if signal.ndim > 2:
         lead = signal.shape[:-1]
         out = ct_mel_pallas(
             signal.reshape((-1, signal.shape[-1])), cfg, tile_f, interpret,
-            parallel_batch, ablate,
+            parallel_batch, ablate, fold_preadd,
         )
         return out.reshape(lead + out.shape[1:])
 
     (win, c2, s2, ab_pairs, a_single, proj_pairs, proj_single, proj_all,
-     n1, n2, k1max, mels) = _ct_mel_constants(cfg)
+     proj_all2, n1, n2, k1max, mels) = _ct_mel_constants(cfg)
+    if fold_preadd:
+        proj_all = proj_all2
     n = cfg.fft_points
     hop = cfg.frame_step
     signal = jnp.asarray(signal, jnp.float32)
@@ -398,6 +412,7 @@ def ct_mel_pallas(
         _kernel, tile_f=tile_f, r=r, rows=rows, n1=n1, n2=n2, k1max=k1max,
         mels=mels, c2=c2, s2=s2,
         layout="chunks" if chunked else "frames", ablate=ablate,
+        fold_preadd=fold_preadd,
         precision=(jax.lax.Precision.DEFAULT if cfg.precision == "default"
                    else jax.lax.Precision.HIGHEST),
     )
