@@ -451,7 +451,12 @@ def corpus(n_files: int = 192, seed: int = 0):
             # optional mixed-length pooling to amortize per-call fixed
             # round trips).
             # fetch_every=4: grouped fetches amortize the per-call D2H
-            # round trip (+10% measured, exp/corpus_fixed_cost_ab_r04)
+            # round trip (+10% measured, exp/corpus_fixed_cost_ab_r04).
+            # put_group stays 1: grouping the H2D puts (13 calls -> 4)
+            # measured NEUTRAL here — the async dispatch already pipelines
+            # puts behind device execution on this tunnel, so the serial
+            # n_calls x fixed charge in the model overstates their cost;
+            # the knob remains for genuinely serial links.
             r = CorpusRunner(paths, cfg, mesh, batch_size=128,
                              out_dir=out_dir, n_io_threads=8,
                              wire_dtype=wire_dtype, fetch_every=4,

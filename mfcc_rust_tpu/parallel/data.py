@@ -526,6 +526,66 @@ def _frame_pack_args(frame_counts, mesh, pack_align: int = 512):
     return offs, n_pk
 
 
+def extraction_step_packed_group(batches, cfg: FeatureConfig, mesh: Mesh,
+                                 feature="mfcc", wire_dtype=None):
+    """Dispatch SEVERAL packed batches with ONE host->device transfer.
+
+    ``batches``: list of ``(flat, offsets, lengths, t, frame_counts)``
+    tuples (frame_counts required — packed outputs only, the corpus
+    runner's configuration).  Every batch's host arrays ship in a single
+    pytree ``jax.device_put`` — on a remote-attached chip each put call
+    pays a fixed ~24 ms round trip (r4 wire model), so grouping k batches
+    per put cuts the dispatch fixed cost k-fold.  Returns the per-batch
+    ``(packed_feats_tree, moments)`` results in order; numerics are
+    identical to per-batch :func:`extraction_step_packed` calls (same
+    jitted programs, same inputs — only the transfer grouping differs)."""
+    multi = isinstance(feature, (tuple, list))
+    if multi and "melspec" in feature:
+        raise ValueError(
+            "melspec (vorbis hop/framing) cannot join a multi-feature pass"
+        )
+    if feature == "melspec":
+        if cfg.window != "vorbis":
+            cfg = cfg.replace(window="vorbis")
+        hop = cfg.stream_hop
+    else:
+        hop = cfg.frame_step
+        if cfg.frame_size < hop:
+            raise ValueError(
+                "sequence-parallel framing requires frame_size >= frame_step"
+            )
+    n_data, n_seq = mesh.shape[DATA_AXIS], mesh.shape[SEQ_AXIS]
+    key = tuple(feature) if multi else feature
+    arrays, shardings, meta = [], [], []
+    sh_r = NamedSharding(mesh, P())
+    sh_d = NamedSharding(mesh, P(DATA_AXIS))
+    for flat, offsets, lengths, t, frame_counts in batches:
+        if frame_counts is None:
+            raise ValueError("extraction_step_packed_group requires "
+                             "frame_counts (packed outputs)")
+        if offsets.shape[0] % n_data:
+            raise ValueError(
+                f"batch {offsets.shape[0]} not divisible by data axis {n_data}"
+            )
+        if t % (n_seq * hop):
+            raise ValueError(
+                f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
+            )
+        offs_host, n_pk = _frame_pack_args(frame_counts, mesh)
+        arrays += [flat, np.asarray(offsets, np.int32),
+                   np.asarray(lengths, np.int32), offs_host]
+        shardings += [sh_r, sh_d, sh_d, sh_r]
+        meta.append((t, n_pk))
+    put = jax.device_put(tuple(arrays), tuple(shardings))
+    outs = []
+    for i, (t, n_pk) in enumerate(meta):
+        fl, off, ln, fo = put[4 * i : 4 * i + 4]
+        outs.append(_extraction_step_packed_out_impl(
+            fl, off, ln, fo, t, n_pk, cfg, key, mesh, wire_dtype
+        ))
+    return outs
+
+
 def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
                            mesh: Mesh, feature="mfcc", frame_counts=None,
                            wire_dtype=None):
@@ -578,9 +638,14 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
     elif wire_dtype is not None:
         raise ValueError("wire_dtype requires packed outputs (frame_counts)")
     # ONE device_put for every host array of the batch (each separate put
-    # pays a fixed ~24 ms tunnel round trip — r4 wire model)
-    arrays = [flat, np.asarray(offsets, np.int32),
-              np.asarray(lengths, np.int32)]
+    # pays a fixed ~24 ms tunnel round trip — r4 wire model).  Arrays that
+    # are ALREADY committed device arrays (a caller pre-put a GROUP of
+    # batches in one call — CorpusRunner's put_group) pass through
+    # device_put as no-ops.
+    arrays = [flat, offsets if isinstance(offsets, jax.Array)
+              else np.asarray(offsets, np.int32),
+              lengths if isinstance(lengths, jax.Array)
+              else np.asarray(lengths, np.int32)]
     shardings = [NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS)),
                  NamedSharding(mesh, P(DATA_AXIS))]
     if frame_offs_host is not None:

@@ -174,6 +174,7 @@ class CorpusRunner:
         packed_output: bool = True,
         wire_dtype: Optional[str] = None,
         pool_growth: Optional[float] = None,
+        put_group: int = 1,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -307,6 +308,15 @@ class CorpusRunner:
         # both ways) but the (B, T) rebuild gather costs per PADDED
         # element, and a 1 s clip in a 35 s batch gathers 35x its samples.
         self.pool_growth = pool_growth
+        # put_group=k (packed outputs only): stage up to k ready batches
+        # and ship ALL their host arrays in ONE jax.device_put
+        # (data.extraction_step_packed_group) — each put call pays a fixed
+        # ~24 ms round trip on a remote-attached chip, so grouping cuts
+        # the dispatch fixed cost k-fold.  Numerics identical (same jitted
+        # programs, same batch composition/order).
+        self.put_group = max(1, int(put_group))
+        if self.put_group > 1 and not self.packed_output:
+            raise ValueError("put_group > 1 requires packed_output=True")
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -352,6 +362,9 @@ class CorpusRunner:
         # batches dispatched to the device but not yet fetched, in dispatch
         # order: [(utt ids, output pytree, audio seconds)]
         inflight: List[tuple] = []
+        # packed batches prepared on host but not yet device_put, in
+        # dispatch order (put_group staging)
+        staged: List[tuple] = []
         # fetch groups in flight in the pool, oldest first
         from collections import deque
 
@@ -433,7 +446,6 @@ class CorpusRunner:
                     )
                 self.meter.bump("h2d_bytes", flat.nbytes + offsets.nbytes
                                 + lens.nbytes)
-                self.meter.bump("dispatches")
                 counts = None
                 if self.packed_output:
                     counts = np.zeros(b_pad, dtype=np.int64)
@@ -441,6 +453,13 @@ class CorpusRunner:
                         lengths, self.cfg, self.feature
                     )
                 audio_sec = float(lengths.sum()) / self.cfg.sample_rate
+                if counts is not None and self.put_group > 1:
+                    staged.append((ids, audio_sec, counts,
+                                   (flat, offsets, lens, bucket, counts)))
+                    if len(staged) >= self.put_group:
+                        flush_staged()
+                    return
+                self.meter.bump("dispatches")
                 with self.meter.measure(0.0, scope="dispatch"):
                     out = extraction_step_packed(
                         flat, offsets, lens, bucket, self.cfg, self.mesh,
@@ -452,6 +471,9 @@ class CorpusRunner:
                     drain()
                 return
             else:
+                # preserve dispatch order: the staged packed batches must
+                # launch before this resample batch
+                flush_staged()
                 g = math.gcd(self.cfg.sample_rate, src_rate)
                 up, down = self.cfg.sample_rate // g, src_rate // g
                 lengths = -(-src_lengths * up // down)
@@ -494,6 +516,26 @@ class CorpusRunner:
                     frame_counts=counts, wire_dtype=self.wire_dtype,
                 )
             inflight.append((ids, out, audio_sec, counts))
+            if len(inflight) >= self.fetch_every:
+                drain()
+
+        def flush_staged():
+            # one device_put ships every staged batch's host arrays, then
+            # the batches dispatch in their original order
+            if not staged:
+                return
+            from .data import extraction_step_packed_group
+
+            group = list(staged)
+            staged.clear()
+            self.meter.bump("dispatches")
+            with self.meter.measure(0.0, scope="dispatch"):
+                outs = extraction_step_packed_group(
+                    [g[3] for g in group], self.cfg, self.mesh,
+                    self.feature, wire_dtype=self.wire_dtype,
+                )
+            for (ids, audio_sec, counts, _), out in zip(group, outs):
+                inflight.append((ids, out, audio_sec, counts))
             if len(inflight) >= self.fetch_every:
                 drain()
 
@@ -639,6 +681,7 @@ class CorpusRunner:
             for (sr, _), pool in pending.items():
                 if pool:
                     dispatch(pool, sr)
+            flush_staged()
             drain()
             while pending_fetches:
                 consume_oldest()
