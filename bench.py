@@ -365,9 +365,30 @@ def _measure_link():
     (repeats on the same array would read a host-side cache).  Two sizes
     separate the fixed per-call round trip from bandwidth:
     bw = (s2-s1)/(t2-t1), fixed = t1 - s1/bw.  Best-of-5 per point (the
-    tunnel jitters ~2x run to run, CLAUDE.md)."""
+    tunnel jitters ~2x run to run, CLAUDE.md).
+
+    The h2d completion barrier is a scalar D2H read whose own round trip
+    would otherwise inflate h2d_fixed by ~1 RTT (ADVICE r4): an empty-call
+    baseline (the same scalar read on a resident tiny array) is measured
+    and subtracted.
+
+    Concurrency law (r5 span trace, exp/corpus_spans_r05.json probes): the
+    tunnel is ONE serial shared link — two concurrent D2H fetches take
+    exactly their serial sum, and H2D+D2H concurrently take the sum of
+    each alone.  ``device_put`` is asynchronous (24 MB returns in ~20 ms
+    vs ~470 ms to completion), so put calls pay NO serial fixed cost; the
+    wire model sums byte times across directions and charges fixed cost
+    per FETCH group only."""
     import jax
     import jax.numpy as jnp
+
+    tiny = jax.device_put(np.zeros(8, np.float32))
+    float(jnp.sum(tiny[:1]))
+    base = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(tiny[:1]))
+        base = min(base, time.perf_counter() - t0)
 
     def h2d_time(nbytes):
         buf = np.zeros(nbytes // 2, dtype=np.int16)
@@ -377,7 +398,7 @@ def _measure_link():
             dev = jax.device_put(buf)
             float(jnp.sum(dev[:1].astype(jnp.float32)))
             best = min(best, time.perf_counter() - t0)
-        return best
+        return max(best - base, 1e-9)  # minus the barrier's own round trip
 
     def d2h_time(nbytes):
         best = float("inf")
@@ -451,12 +472,12 @@ def corpus(n_files: int = 192, seed: int = 0):
             # optional mixed-length pooling to amortize per-call fixed
             # round trips).
             # fetch_every=4: grouped fetches amortize the per-call D2H
-            # round trip (+10% measured, exp/corpus_fixed_cost_ab_r04).
-            # put_group stays 1: grouping the H2D puts (13 calls -> 4)
-            # measured NEUTRAL here — the async dispatch already pipelines
-            # puts behind device execution on this tunnel, so the serial
-            # n_calls x fixed charge in the model overstates their cost;
-            # the knob remains for genuinely serial links.
+            # round trip (+10% measured, exp/corpus_fixed_cost_ab_r04; the
+            # r5 sweep exp/fetch_every_sweep confirms the optimum).  No
+            # put grouping: the r5 span trace proved device_put is
+            # asynchronous (puts pipeline behind the serial shared link,
+            # paying no per-call fixed cost), which is why r4's put_group
+            # measured neutral — the machinery is retired to exp/.
             r = CorpusRunner(paths, cfg, mesh, batch_size=128,
                              out_dir=out_dir, n_io_threads=8,
                              wire_dtype=wire_dtype, fetch_every=4,
@@ -468,48 +489,59 @@ def corpus(n_files: int = 192, seed: int = 0):
         link = _measure_link()
 
         def wire_model(wall, meter, label):
-            """Emit the per-run wire accounting: predicted transfer seconds
-            from (measured link constants x counted bytes/calls) vs the
-            measured dispatch+fetch scopes, the byte-only wire ceiling, and
-            the itemized residual."""
+            """Emit the per-run wire accounting under the measured link law
+            (r5 span trace, exp/corpus_spans_r05.json): the tunnel is ONE
+            serial shared link, device_put is asynchronous (puts pay no
+            serial fixed cost — which is why r4's put_group grouping
+            measured neutral), and only fetch groups expose a fixed round
+            trip.  Predicted link seconds = sum of both directions' byte
+            times + n_fetch_groups x d2h_fixed, compared against the
+            MEASURED link-busy time (union of the runner's per-call
+            dispatch/fetch spans — r4 compared against aggregate scopes,
+            which conflated the pool threads' concurrent waits).  Wall
+            splits into ramp (run start -> first dispatch span), link-busy,
+            link-idle gaps, and tail (last fetch -> run end)."""
             c = meter.counters
             h2d_b, d2h_b = c.get("h2d_bytes", 0.0), c.get("d2h_bytes", 0.0)
             n_disp = c.get("dispatches", 0.0)
             n_fg = c.get("fetch_groups", 0.0)
-            pred_h2d = h2d_b / link["h2d_bw"] + n_disp * link["h2d_fixed"]
-            pred_d2h = d2h_b / link["d2h_bw"] + n_fg * link["d2h_fixed"]
-            # transfers pipeline through the async dispatch: the H2D time
-            # hides inside the fetch wait, so the meaningful comparison is
-            # TOTAL predicted transfer seconds vs dispatch+fetch scopes
-            fixed_s = (n_disp * link["h2d_fixed"] + n_fg * link["d2h_fixed"])
             byte_s = h2d_b / link["h2d_bw"] + d2h_b / link["d2h_bw"]
+            fixed_s = n_fg * link["d2h_fixed"]
+            pred_link = byte_s + fixed_s
+            link_busy = meter.span_union("dispatch", "fetch")
+            run_span = [s for s in meter.spans if s[0] == "run"]
+            t_run0, t_run1 = run_span[0][1], run_span[0][2]
+            xfer = [s for s in meter.spans if s[0] in ("dispatch", "fetch")]
+            ramp = min(t0 for _, t0, _ in xfer) - t_run0 if xfer else 0.0
+            tail = t_run1 - max(t1 for _, _, t1 in xfer) if xfer else 0.0
             # byte-only ceiling: fixed costs are amortizable (bigger fetch
-            # groups), bytes are not — directions serialize on this tunnel
-            ceiling = total_audio / (h2d_b / link["h2d_bw"]
-                                     + d2h_b / link["d2h_bw"])
+            # groups), bytes are not — the directions SHARE the one link,
+            # so their byte times add
+            ceiling = total_audio / byte_s
             sc = meter.scopes
-            accounted = (sc.get("decode_wait", 0) + sc.get("pack", 0)
-                         + sc.get("dispatch", 0) + sc.get("fetch", 0)
-                         + sc.get("write", 0))
             print(json.dumps({
-                "metric": f"corpus wire model [{label}] (predicted vs actual"
-                          " transfer seconds; residual itemized)",
+                "metric": f"corpus wire model [{label}] (serial-link law: "
+                          "predicted vs measured link-busy seconds)",
                 "value": round(total_audio / wall, 1), "unit": "audio-s/s",
                 "vs_baseline": round(total_audio / wall / TARGET, 4),
                 "wall_s": round(wall, 3),
                 "scopes_s": {k: round(v, 3) for k, v in sc.items()},
-                "unattributed_s": round(wall - accounted, 3),
-                "pred_transfer_total_s": round(pred_h2d + pred_d2h, 3),
-                "pred_transfer_byte_s": round(byte_s, 3),
-                "pred_transfer_fixed_s": round(fixed_s, 3),
-                "actual_dispatch_plus_fetch_s": round(
-                    sc.get("dispatch", 0) + sc.get("fetch", 0), 3),
+                "pred_link_s": round(pred_link, 3),
+                "pred_link_byte_s": round(byte_s, 3),
+                "pred_link_fixed_s": round(fixed_s, 3),
+                "measured_link_busy_s": round(link_busy, 3),
+                "pred_over_measured": round(pred_link / link_busy, 4)
+                if link_busy else 0.0,
+                "wall_split_s": {"ramp": round(ramp, 3),
+                                 "link_busy": round(link_busy, 3),
+                                 "link_idle": round(
+                                     max(wall - ramp - tail - link_busy, 0.0),
+                                     3),
+                                 "tail": round(tail, 3)},
                 "h2d": {"bytes_mb": round(h2d_b / 1e6, 2),
-                        "calls": int(n_disp),
-                        "pred_s": round(pred_h2d, 3)},
+                        "calls": int(n_disp)},
                 "d2h": {"bytes_mb": round(d2h_b / 1e6, 2),
-                        "calls": int(n_fg),
-                        "pred_s": round(pred_d2h, 3)},
+                        "calls": int(n_fg)},
                 "link": {k: round(v, 4) if "fixed" in k else round(v / 1e6, 1)
                          for k, v in link.items()},
                 "wire_ceiling_audio_s_per_s": round(ceiling, 1),
@@ -517,6 +549,42 @@ def corpus(n_files: int = 192, seed: int = 0):
                     total_audio / wall / ceiling, 4),
             }))
             return ceiling
+
+        def local_attach_projection(wall, meter, label):
+            """VERDICT r4 #3: the same wire model evaluated at local-attach
+            (PCIe-class) constants — measured host costs kept as-is, the
+            measured link-busy seconds replaced by the modeled local link
+            time (~10 GB/s, ~10 us fixed; conservative for a v5e host).
+            States what the shipped runner should do on real hardware,
+            where the tunnel does not exist."""
+            c = meter.counters
+            h2d_b, d2h_b = c.get("h2d_bytes", 0.0), c.get("d2h_bytes", 0.0)
+            n_fg = c.get("fetch_groups", 0.0)
+            local_bw, local_fixed = 10e9, 10e-6
+            pred_local = (h2d_b + d2h_b) / local_bw + n_fg * local_fixed
+            # device compute, charged at the measured bucketed-ragged chip
+            # rate (suite config 4; padding-inclusive) — on the tunnel it
+            # hides under the link, locally it can become the floor
+            compute_s = total_audio / 1.2e6
+            link_busy = meter.span_union("dispatch", "fetch")
+            proj_wall = wall - link_busy + max(pred_local, compute_s)
+            proj = total_audio / proj_wall
+            print(json.dumps({
+                "metric": f"corpus local-attach projection [{label}] "
+                          "(measured host costs + modeled PCIe link)",
+                "value": round(proj, 1), "unit": "audio-s/s",
+                "vs_baseline": round(proj / TARGET, 4),
+                "proj_wall_s": round(proj_wall, 3),
+                "modeled_link_s": round(pred_local, 4),
+                "modeled_compute_s": round(compute_s, 4),
+                "measured_host_s": round(wall - link_busy, 3),
+                "assumptions": {"link_bw_gbs": 10.0, "fetch_fixed_us": 10.0,
+                                "compute_rate_audio_s_per_s": 1.2e6},
+                "clears_north_star": proj >= TARGET,
+                "bottleneck": "host pipeline (decode ramp + pack + consume)"
+                if (wall - link_busy) > max(pred_local, compute_s)
+                else "device/link",
+            }))
 
         def timed(tag, **kw):
             # median of 3 timed passes: single corpus walls swing with the
@@ -549,6 +617,7 @@ def corpus(n_files: int = 192, seed: int = 0):
             "vs_baseline": 0.0,
         }))
         ceiling = wire_model(wall, meter, "f32 wire")
+        local_attach_projection(wall, meter, "f32 wire")
         print(json.dumps({
             "metric": "corpus fraction of link roofline (end-to-end / wire "
                       "ceiling; ~1 = provably wire-bound)",
@@ -569,6 +638,7 @@ def corpus(n_files: int = 192, seed: int = 0):
             total_audio / wall16,
         )
         wire_model(wall16, meter16, "f16 wire")
+        local_attach_projection(wall16, meter16, "f16 wire")
         # (a coarse length-band pooling config was tried and REMOVED from
         # this bench: cutting the dispatch count to ~4 via pool_growth=2.5
         # measured 1137 vs 1164 audio-s/s at fetch_every=1 and collapsed

@@ -278,15 +278,20 @@ def _kernel(ch_ref, win_ref, abp_ref, as_ref, pp_ref, ps_ref, pall_ref,
                        precision=precision)
 
     if ablate == "stage2":
+        # widen to the (tile_f, mels) out block exactly like the window/
+        # stage1 ablation branches (ADVICE r4: the old o[:, :1] fallback was
+        # a shape error for mels > o.shape[1] configs)
+        def widen(o):
+            return o[:, :mels] if mels <= o.shape[1] else jnp.concatenate(
+                [o] * (-(-mels // o.shape[1])), axis=1)[:, :mels]
+
         acc = None
         for idx, r2 in enumerate((0, h)):
-            o = dot(irs[r2], as_ref[idx])
-            part = o[:, :mels] if mels <= o.shape[1] else o[:, :1]
+            part = widen(dot(irs[r2], as_ref[idx]))
             acc = part if acc is None else acc + part
         for j, rr in enumerate(range(1, h)):
             z = jnp.concatenate([irs[rr], iis[rr]], axis=1)
-            o = dot(z, abp_ref[j])
-            acc = acc + (o[:, :mels] if mels <= o.shape[1] else o[:, :1])
+            acc = acc + widen(dot(z, abp_ref[j]))
         out_ref[0] = acc
         return
 

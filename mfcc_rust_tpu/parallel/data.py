@@ -317,6 +317,24 @@ def _extraction_step_packed_impl(flat, offsets, lengths, t, cfg, feature,
     return _packed_mapped(flat, offsets, lengths, t, cfg, feature, mesh)
 
 
+def _as_int32(arr, what: str) -> "np.ndarray":
+    """Checked int32 narrowing for host index/length arrays bound for the
+    device (the device mask/gather arithmetic runs in int32).  Shared by
+    every device entry point (ADVICE r4: the guard used to live only in
+    :func:`frame_counts_host`, so non-packed callers could silently wrap)."""
+    import numpy as np
+
+    if isinstance(arr, jax.Array):  # already-committed device array
+        return arr
+    a = np.asarray(arr)
+    if a.size and int(a.max(initial=0)) >= 2**31:
+        raise ValueError(
+            f"{what} {int(a.max())} exceeds int32 (device arithmetic is "
+            "int32; split the batch or cap clip lengths)"
+        )
+    return a.astype(np.int32)
+
+
 def frame_counts_host(lengths, cfg: FeatureConfig, feature) -> "np.ndarray":
     """Host mirror of the device frame-validity mask's per-row counts
     (:func:`_n_valid_frames`): the number of valid output frames for each
@@ -440,8 +458,8 @@ def unpack_resample(flat, offsets, lengths_src, t_src: int, up: int,
     """Device entry for the packed mixed-rate path: returns the resampled
     (B, t_src*up//down) float32 DEVICE array, rows sharded on the data axis."""
     flat, offsets, lengths_src = jax.device_put(
-        (flat, np.asarray(offsets, np.int32),
-         np.asarray(lengths_src, np.int32)),
+        (flat, _as_int32(offsets, "packed offset"),
+         _as_int32(lengths_src, "clip length")),
         (NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS)),
          NamedSharding(mesh, P(DATA_AXIS))),
     )
@@ -513,8 +531,8 @@ def pack_signals(clips, b_pad: int, mesh: Mesh, flat_align: int = 2048,
 def _frame_pack_args(frame_counts, mesh, pack_align: int = 512):
     """(HOST exclusive-cumsum frame offsets, static bucketed packed row
     count) for the packed-output epilogue.  The offsets ship inside the
-    caller's single pytree device_put — a separate put here would pay its
-    own ~24 ms tunnel round trip per batch (r4 wire model)."""
+    caller's single pytree device_put so the link sees one contiguous
+    transfer per batch instead of a straggler put."""
     import numpy as np
 
     from ..utils.bucketing import bucket_length
@@ -524,66 +542,6 @@ def _frame_pack_args(frame_counts, mesh, pack_align: int = 512):
     np.cumsum(counts[:-1], out=offs[1:])
     n_pk = bucket_length(max(int(counts.sum()), 1), min_bucket=pack_align)
     return offs, n_pk
-
-
-def extraction_step_packed_group(batches, cfg: FeatureConfig, mesh: Mesh,
-                                 feature="mfcc", wire_dtype=None):
-    """Dispatch SEVERAL packed batches with ONE host->device transfer.
-
-    ``batches``: list of ``(flat, offsets, lengths, t, frame_counts)``
-    tuples (frame_counts required — packed outputs only, the corpus
-    runner's configuration).  Every batch's host arrays ship in a single
-    pytree ``jax.device_put`` — on a remote-attached chip each put call
-    pays a fixed ~24 ms round trip (r4 wire model), so grouping k batches
-    per put cuts the dispatch fixed cost k-fold.  Returns the per-batch
-    ``(packed_feats_tree, moments)`` results in order; numerics are
-    identical to per-batch :func:`extraction_step_packed` calls (same
-    jitted programs, same inputs — only the transfer grouping differs)."""
-    multi = isinstance(feature, (tuple, list))
-    if multi and "melspec" in feature:
-        raise ValueError(
-            "melspec (vorbis hop/framing) cannot join a multi-feature pass"
-        )
-    if feature == "melspec":
-        if cfg.window != "vorbis":
-            cfg = cfg.replace(window="vorbis")
-        hop = cfg.stream_hop
-    else:
-        hop = cfg.frame_step
-        if cfg.frame_size < hop:
-            raise ValueError(
-                "sequence-parallel framing requires frame_size >= frame_step"
-            )
-    n_data, n_seq = mesh.shape[DATA_AXIS], mesh.shape[SEQ_AXIS]
-    key = tuple(feature) if multi else feature
-    arrays, shardings, meta = [], [], []
-    sh_r = NamedSharding(mesh, P())
-    sh_d = NamedSharding(mesh, P(DATA_AXIS))
-    for flat, offsets, lengths, t, frame_counts in batches:
-        if frame_counts is None:
-            raise ValueError("extraction_step_packed_group requires "
-                             "frame_counts (packed outputs)")
-        if offsets.shape[0] % n_data:
-            raise ValueError(
-                f"batch {offsets.shape[0]} not divisible by data axis {n_data}"
-            )
-        if t % (n_seq * hop):
-            raise ValueError(
-                f"time {t} not divisible by seq axis * hop = {n_seq * hop}"
-            )
-        offs_host, n_pk = _frame_pack_args(frame_counts, mesh)
-        arrays += [flat, np.asarray(offsets, np.int32),
-                   np.asarray(lengths, np.int32), offs_host]
-        shardings += [sh_r, sh_d, sh_d, sh_r]
-        meta.append((t, n_pk))
-    put = jax.device_put(tuple(arrays), tuple(shardings))
-    outs = []
-    for i, (t, n_pk) in enumerate(meta):
-        fl, off, ln, fo = put[4 * i : 4 * i + 4]
-        outs.append(_extraction_step_packed_out_impl(
-            fl, off, ln, fo, t, n_pk, cfg, key, mesh, wire_dtype
-        ))
-    return outs
 
 
 def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
@@ -637,15 +595,13 @@ def extraction_step_packed(flat, offsets, lengths, t: int, cfg: FeatureConfig,
         frame_offs_host, n_pk = _frame_pack_args(frame_counts, mesh)
     elif wire_dtype is not None:
         raise ValueError("wire_dtype requires packed outputs (frame_counts)")
-    # ONE device_put for every host array of the batch (each separate put
-    # pays a fixed ~24 ms tunnel round trip — r4 wire model).  Arrays that
-    # are ALREADY committed device arrays (a caller pre-put a GROUP of
-    # batches in one call — CorpusRunner's put_group) pass through
-    # device_put as no-ops.
-    arrays = [flat, offsets if isinstance(offsets, jax.Array)
-              else np.asarray(offsets, np.int32),
-              lengths if isinstance(lengths, jax.Array)
-              else np.asarray(lengths, np.int32)]
+    # ONE device_put for every host array of the batch: device_put is
+    # asynchronous (r5 span trace — puts return in ms and their transfers
+    # pipeline behind the shared link), but one pytree put keeps the batch
+    # a single contiguous link transfer.  Already-committed device arrays
+    # pass through device_put as no-ops.
+    arrays = [flat, _as_int32(offsets, "packed offset"),
+              _as_int32(lengths, "clip length")]
     shardings = [NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS)),
                  NamedSharding(mesh, P(DATA_AXIS))]
     if frame_offs_host is not None:
@@ -815,7 +771,7 @@ def extraction_step(
     if frame_counts is not None:
         frame_offs_host, n_pk = _frame_pack_args(frame_counts, mesh)
         signals, lengths, frame_offsets = jax.device_put(
-            (signals, np.asarray(lengths, np.int32), frame_offs_host),
+            (signals, _as_int32(lengths, "clip length"), frame_offs_host),
             (NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)),
              NamedSharding(mesh, P(DATA_AXIS)), NamedSharding(mesh, P())),
         )
@@ -825,7 +781,7 @@ def extraction_step(
     if wire_dtype is not None:
         raise ValueError("wire_dtype requires packed outputs (frame_counts)")
     signals, lengths = jax.device_put(
-        (signals, np.asarray(lengths, np.int32)),
+        (signals, _as_int32(lengths, "clip length")),
         (NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)),
          NamedSharding(mesh, P(DATA_AXIS))),
     )

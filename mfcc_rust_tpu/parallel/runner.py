@@ -18,6 +18,7 @@ checkpointed and merged deterministically with
 from __future__ import annotations
 
 import os
+import time
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -174,7 +175,6 @@ class CorpusRunner:
         packed_output: bool = True,
         wire_dtype: Optional[str] = None,
         pool_growth: Optional[float] = None,
-        put_group: int = 1,
     ):
         self.all_paths = [str(p) for p in paths]
         # host shard of the corpus
@@ -308,15 +308,6 @@ class CorpusRunner:
         # both ways) but the (B, T) rebuild gather costs per PADDED
         # element, and a 1 s clip in a 35 s batch gathers 35x its samples.
         self.pool_growth = pool_growth
-        # put_group=k (packed outputs only): stage up to k ready batches
-        # and ship ALL their host arrays in ONE jax.device_put
-        # (data.extraction_step_packed_group) — each put call pays a fixed
-        # ~24 ms round trip on a remote-attached chip, so grouping cuts
-        # the dispatch fixed cost k-fold.  Numerics identical (same jitted
-        # programs, same batch composition/order).
-        self.put_group = max(1, int(put_group))
-        if self.put_group > 1 and not self.packed_output:
-            raise ValueError("put_group > 1 requires packed_output=True")
 
     # ------------------------------------------------------------------ run --
     def run(self) -> CorpusMoments:
@@ -362,9 +353,6 @@ class CorpusRunner:
         # batches dispatched to the device but not yet fetched, in dispatch
         # order: [(utt ids, output pytree, audio seconds)]
         inflight: List[tuple] = []
-        # packed batches prepared on host but not yet device_put, in
-        # dispatch order (put_group staging)
-        staged: List[tuple] = []
         # fetch groups in flight in the pool, oldest first
         from collections import deque
 
@@ -444,23 +432,22 @@ class CorpusRunner:
                         [s for _, s, _ in batch], b_pad, self.mesh,
                         pcm16_exact=exact,
                     )
-                self.meter.bump("h2d_bytes", flat.nbytes + offsets.nbytes
-                                + lens.nbytes)
                 counts = None
                 if self.packed_output:
                     counts = np.zeros(b_pad, dtype=np.int64)
                     counts[:b] = frame_counts_host(
                         lengths, self.cfg, self.feature
                     )
+                # bytes as actually shipped (ADVICE r4): offsets/lengths go
+                # over the wire as int32, and packed outputs add the int32
+                # frame-offsets array to the same device_put
+                n_i32 = 2 + (1 if counts is not None else 0)
+                self.meter.bump("h2d_bytes",
+                                flat.nbytes + n_i32 * 4 * b_pad)
                 audio_sec = float(lengths.sum()) / self.cfg.sample_rate
-                if counts is not None and self.put_group > 1:
-                    staged.append((ids, audio_sec, counts,
-                                   (flat, offsets, lens, bucket, counts)))
-                    if len(staged) >= self.put_group:
-                        flush_staged()
-                    return
                 self.meter.bump("dispatches")
-                with self.meter.measure(0.0, scope="dispatch"):
+                with self.meter.measure(0.0, scope="dispatch"), \
+                        self.meter.span("dispatch"):
                     out = extraction_step_packed(
                         flat, offsets, lens, bucket, self.cfg, self.mesh,
                         self.feature, frame_counts=counts,
@@ -471,9 +458,6 @@ class CorpusRunner:
                     drain()
                 return
             else:
-                # preserve dispatch order: the staged packed batches must
-                # launch before this resample batch
-                flush_staged()
                 g = math.gcd(self.cfg.sample_rate, src_rate)
                 up, down = self.cfg.sample_rate // g, src_rate // g
                 lengths = -(-src_lengths * up // down)
@@ -494,12 +478,14 @@ class CorpusRunner:
                         [s for _, s, _ in batch], b_pad, self.mesh,
                         pcm16_exact=exact,
                     )
-                self.meter.bump("h2d_bytes", flat.nbytes + offsets.nbytes
-                                + src_lens.nbytes)
+                # int32 wire sizes as shipped (ADVICE r4)
+                self.meter.bump("h2d_bytes", flat.nbytes + 2 * 4 * b_pad)
                 self.meter.bump("dispatches")
-                sig = unpack_resample(
-                    flat, offsets, src_lens, src_bucket, up, down, self.mesh
-                )
+                with self.meter.span("dispatch"):
+                    sig = unpack_resample(
+                        flat, offsets, src_lens, src_bucket, up, down,
+                        self.mesh
+                    )
             lens = np.zeros(b_pad, dtype=np.int64)
             lens[:b] = lengths
             counts = None
@@ -508,34 +494,23 @@ class CorpusRunner:
 
                 counts = np.zeros(b_pad, dtype=np.int64)
                 counts[:b] = frame_counts_host(lengths, self.cfg, self.feature)
+            # the extraction_step below issues its OWN device_put for the
+            # int32 lengths (+ frame offsets on packed outputs); the signal
+            # block is already a device array and ships nothing (ADVICE r4:
+            # this put was neither byte- nor call-counted)
+            self.meter.bump("dispatches")
+            self.meter.bump(
+                "h2d_bytes", (2 if counts is not None else 1) * 4 * b_pad
+            )
             audio_sec = float(lengths.sum()) / self.cfg.sample_rate
             # asynchronous: enqueues device work and returns device arrays
-            with self.meter.measure(0.0, scope="dispatch"):
+            with self.meter.measure(0.0, scope="dispatch"), \
+                    self.meter.span("dispatch"):
                 out = extraction_step(
                     sig, lens, self.cfg, self.mesh, self.feature,
                     frame_counts=counts, wire_dtype=self.wire_dtype,
                 )
             inflight.append((ids, out, audio_sec, counts))
-            if len(inflight) >= self.fetch_every:
-                drain()
-
-        def flush_staged():
-            # one device_put ships every staged batch's host arrays, then
-            # the batches dispatch in their original order
-            if not staged:
-                return
-            from .data import extraction_step_packed_group
-
-            group = list(staged)
-            staged.clear()
-            self.meter.bump("dispatches")
-            with self.meter.measure(0.0, scope="dispatch"):
-                outs = extraction_step_packed_group(
-                    [g[3] for g in group], self.cfg, self.mesh,
-                    self.feature, wire_dtype=self.wire_dtype,
-                )
-            for (ids, audio_sec, counts, _), out in zip(group, outs):
-                inflight.append((ids, out, audio_sec, counts))
             if len(inflight) >= self.fetch_every:
                 drain()
 
@@ -555,12 +530,21 @@ class CorpusRunner:
             self.meter.bump("d2h_bytes", tree_bytes(trees))
             if executor is None:
                 group_audio = sum(r[2] for r in records)
-                with self.meter.measure(group_audio, scope="fetch"):
+                with self.meter.measure(group_audio, scope="fetch"), \
+                        self.meter.span("fetch"):
                     fetched = fetch_outputs(trees)
                 consume(records, fetched)
                 return
-            pending_fetches.append((records, executor.submit(fetch_outputs,
-                                                             trees)))
+
+            def timed_fetch(trees=trees):
+                # the span records the transfer's true start/end inside the
+                # pool thread; the main thread's "fetch" scope only bills
+                # its residual wait (r5: the wire model compares predicted
+                # link seconds against the span union, not scopes)
+                with self.meter.span("fetch"):
+                    return fetch_outputs(trees)
+
+            pending_fetches.append((records, executor.submit(timed_fetch)))
             while len(pending_fetches) > max_pending:
                 consume_oldest()
 
@@ -633,6 +617,10 @@ class CorpusRunner:
         import math
 
         try:
+            # the "run" span brackets the whole consume loop so the wire
+            # model can split wall into ramp (start -> first dispatch),
+            # link-busy (dispatch/fetch span union) and tail
+            self.meter.spans.append(("run", time.perf_counter(), 0.0))
             it = iter(loader)
             while True:
                 with self.meter.measure(0.0, scope="decode_wait"):
@@ -681,12 +669,14 @@ class CorpusRunner:
             for (sr, _), pool in pending.items():
                 if pool:
                     dispatch(pool, sr)
-            flush_staged()
             drain()
             while pending_fetches:
                 consume_oldest()
             flush_writes()
         finally:
+            for i, (n, t0, t1) in enumerate(self.meter.spans):
+                if n == "run" and t1 == 0.0:
+                    self.meter.spans[i] = ("run", t0, time.perf_counter())
             if executor is not None:
                 executor.shutdown(wait=True)
             if writer is not None:

@@ -29,6 +29,11 @@ class Meter:
     batches: int = 0
     scopes: Dict[str, float] = field(default_factory=dict)
     counters: Dict[str, float] = field(default_factory=dict)
+    # per-call wall-clock spans [(name, t0, t1)] for transfer calls (r5:
+    # the corpus wire model compares its prediction against the measured
+    # union of link-busy spans, not aggregate scopes — thread-safe via the
+    # GIL's atomic list.append)
+    spans: list = field(default_factory=list)
 
     @contextlib.contextmanager
     def measure(self, audio_seconds: float, scope: str = "extract"):
@@ -39,6 +44,33 @@ class Meter:
         self.wall_seconds += dt
         self.batches += 1
         self.scopes[scope] = self.scopes.get(scope, 0.0) + dt
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        """Record a named wall-clock interval (absolute perf_counter times).
+        Unlike :meth:`measure`, spans keep per-call start/end so overlap and
+        link-busy unions are computable afterwards."""
+        t0 = time.perf_counter()
+        yield
+        self.spans.append((name, t0, time.perf_counter()))
+
+    def span_union(self, *names: str) -> float:
+        """Total seconds covered by the union of the named spans (merged
+        intervals — concurrent calls do not double-count)."""
+        want = set(names)
+        ivs = sorted((t0, t1) for n, t0, t1 in self.spans if n in want)
+        total, cur1 = 0.0, None
+        cur0 = None
+        for a, b in ivs:
+            if cur1 is None or a > cur1:
+                if cur1 is not None:
+                    total += cur1 - cur0
+                cur0, cur1 = a, b
+            else:
+                cur1 = max(cur1, b)
+        if cur1 is not None:
+            total += cur1 - cur0
+        return total
 
     def bump(self, name: str, value: float = 1.0) -> None:
         self.counters[name] = self.counters.get(name, 0.0) + value

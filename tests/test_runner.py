@@ -350,24 +350,3 @@ def test_cli_multi_feature(corpus, tmp_path, capsys):
     assert sorted(npz.files) == ["mfcc", "ssc"]
     assert main([*paths[:1], "--feature", "mfcc,melspec",
                  "--out-dir", str(out)]) == 2
-
-
-def test_runner_put_group_outputs_match(corpus, tmp_path):
-    """put_group > 1 (grouped host->device transfers) is a pure transfer
-    optimization: bitwise-identical per-utterance outputs and moments —
-    same jitted programs, same batch composition and dispatch order."""
-    paths, _ = corpus
-    mesh = make_mesh(n_data=4, n_seq=1)
-    out_a, out_b = tmp_path / "g1", tmp_path / "g3"
-    mom_a = CorpusRunner(paths, CFG, mesh, batch_size=4,
-                         out_dir=str(out_a)).run()
-    mom_b = CorpusRunner(paths, CFG, mesh, batch_size=4, out_dir=str(out_b),
-                         put_group=3).run()
-    for p in sorted(out_a.iterdir()):
-        np.testing.assert_array_equal(np.load(p), np.load(out_b / p.name))
-    np.testing.assert_array_equal(np.asarray(mom_a.mean),
-                                  np.asarray(mom_b.mean))
-    np.testing.assert_array_equal(np.asarray(mom_a.m2), np.asarray(mom_b.m2))
-    assert int(mom_a.count) == int(mom_b.count)
-    with pytest.raises(ValueError, match="put_group"):
-        CorpusRunner(paths, CFG, mesh, packed_output=False, put_group=2)
