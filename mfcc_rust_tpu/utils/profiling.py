@@ -159,6 +159,35 @@ def _tile_eff(k: int, n: int) -> float:
     return (k / up(k)) * (n / up(n))
 
 
+# MEASURED effective MXU rates (q-flops/s on the ceil-128-padded basis) for
+# the PADDED dot shapes the shipped fused-wall lowerings dispatch — v5e,
+# exp/expected_calib_r05_results.txt.  The ceil-to-128 x spec/passes charge
+# misprices padded small-K dots in BOTH directions: N=514 at 6-pass
+# collapses to 11.7 q-TFLOP/s, while the shipped (K 320->384, N 260->384)
+# shape runs at 40.2 — ABOVE the 30.8 exact-tile 6-pass peak (exact-tile
+# sanity probes land on the measured spec ladder: 60.4 / 30.8 at 384x640).
+# Keyed by (precision passes, ceil128(K), ceil128(N)); only measured padded
+# shapes are tabulated — everything else charges spec_peak / passes.
+MEASURED_DOT_QRATE = {
+    (3, 384, 384): 79.0e12,  # speechpy wall 78.5 / vorbis wall 80.5
+    (6, 384, 384): 40.2e12,
+}
+
+# MEASURED stage constants for the hoppad-wall librosa lowering (512/160/80
+# @16 kHz, B=64), from the cumulative on-chip ablation
+# exp/hoppad_ablation_r05_results.txt (inline pipeline bitwise-equal to the
+# shipped one).  The fused concat-into-dot IS the best available lowering:
+# forcing a materialized operand + clean tile-exact dot with an
+# optimization_barrier measured 27% SLOWER end-to-end
+# (exp/hoppad_barrier_ab_r05_results.txt: 313k vs 428k), so the fused dot's
+# ~53%-of-3-pass effective rate below is the achievable rate, not a gap.
+HOPPAD_PAD_S_PER_SAMPLE = 5.875e-12   # center-pad pass: 0.094 us/as / 16k
+HOPPAD_FUSED_DOT_QRATE = 34.6e12      # K=640 N=512 exact: 1.894 us/as over
+#                                       2*640*512*100 q-flops/as
+HOPPAD_TAIL_S_PER_ELEM = 5.76e-12     # y*y + mel GEMM + transpose:
+#                                       0.341 us/as over (2*kmax+m)*fps
+
+
 def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
     """Per-audio-second cost model of the lowering that actually dispatches
     for (cfg, feature) — GEMM list (contraction x width x per-frame count),
@@ -180,7 +209,10 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
     lowering = None
 
     stages = None  # optional list of (name, mxu_flops_q_per_as, vpu_per_as,
-    #                hbm_bytes_per_as) for the serial "expected" composition
+    #                hbm_bytes_per_as[, measured_s_per_as[, mxu_qrate]]) for
+    #                the serial "expected" composition; the optional 6th
+    #                element overrides spec_peak/passes with a MEASURED
+    #                effective rate for that stage's dots
     if feature in ("mfcc", "mfe", "lmfe", "ssc", "energy"):
         from ..features import _fast_path_ok
 
@@ -227,7 +259,15 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             # Measured accounting at precision=high matches this to ~5%
             # (docs/DESIGN.md, exp/headline_breakdown_r03b).
             gq = lambda k, nn, cnt: 2.0 * k * nn * cnt / _tile_eff(k, nn) * fps
-            st_a = ("dft-gemm", gq(*gemms[0]), 0.0, sr * 4 + 4 * w * fps)
+            up = lambda x: -(-x // 128) * 128
+            passes = PRECISION_PASSES.get(
+                getattr(cfg, "precision", "highest"), 6)
+            # measured-calibrated rate for the padded fused-wall dot shape
+            # (r5, exp/expected_calib_r05): None -> spec_peak/passes
+            dot_rate = MEASURED_DOT_QRATE.get(
+                (passes, up(gemms[0][0]), up(gemms[0][1])))
+            st_a = ("dft-gemm", gq(*gemms[0]), 0.0, sr * 4 + 4 * w * fps,
+                    0.0, dot_rate)
             tail_g = sum(gq(*g) for g in gemms[1:])
             tail_hbm = 4 * (w + 2 * m) * fps + 4 * (
                 (c if feature == "mfcc" else m) * fps
@@ -267,7 +307,16 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
         fps = sr / hop
         w = vw["wall"].shape[1]
         lowering = "vorbis-chunk-gemm"
-        gemms.append((hop, w, vw["r"]))
+        # mirror _chunk_gemm's dispatch rule (r5, VERDICT r4 weak #1): a
+        # hop that is not a 128-multiple rides the FUSED one-K=r*hop dot
+        # (vorbis 16 kHz: hop 320 -> one K=640 tile-exact dot), which the
+        # old model mis-charged as r separate padded K=hop dots (+20%
+        # phantom quantization — the source of the 1.0846 expected_fraction)
+        if vw["r"] > 1 and hop % 128 != 0:
+            lowering = "vorbis-chunk-gemm-fused"
+            gemms.append((vw["r"] * hop, w, 1))
+        else:
+            gemms.append((hop, w, vw["r"]))
         gemms.append((w, m, 1))
         vpu += w
         hbm = sr * 4 + 2 * 4 * (w + m) * fps + 4 * m * fps
@@ -318,24 +367,31 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             else:
                 # frames-input layout: XLA gathers frames once (write+read)
                 hbm = sr * 4 + 2 * 4 * n * fps + 4 * m * fps
-            # MEASURED-CALIBRATED stage model (VERDICT r3 #3; constants from
-            # the per-stage ablation exp/ct_ablation_r04b_results.txt,
-            # v5e, 2048/512 config, tile_f=256 — regenerate with
-            # exp/ct_ablation.py).  The kernel is VPU/VMEM-data-movement
-            # bound, not MXU bound: the physics model charges only FMA
-            # flops at peak, but the slab slicing, window products, short
-            # dependency chains and power-epilogue vreg traffic run at a
-            # small fraction of the VPU's FMA peak.  Per-unit effective
-            # rates (seconds per unit of modeled work), measured:
-            #   window+DMA   6.42e-12 s/sample        (0.566 us/as / n*fps)
-            #   stage-1 FMAs at its measured eff. rate (8.33 ns/frame over
-            #     the modeled chain flops)
-            #   stage-2 GEMMs at the 3-pass MXU tile-quantized rate (the
-            #     measured delta is AT the physical rate)
-            #   epilogue vreg touches 2.69e-12 s/touch (squares, pre-adds,
-            #     lane concat; 23.4 ns/frame residual at 8.7k touches)
+            # MEASURED-CALIBRATED stage model (VERDICT r3 #3, re-measured +
+            # config-transfer-tested r5: exp/ct_transfer_r05_results.txt,
+            # v5e, calibration config 2048/512/128 tile_f=256, second
+            # config 1024/256/128 in the same process).  The kernel is
+            # VPU/VMEM-data-movement bound, not MXU bound.  Per-unit
+            # effective rates (seconds per unit of modeled work):
+            #   window+DMA   6.476e-12 s/sample  (transfers to the second
+            #     config at ratio 0.915)
+            #   stage-1 FMAs 3.454e-13 s/flop    (transfer ratio 0.936)
+            #   stage-2 GEMMs at their MEASURED delta rate 116.9 q-TFLOP/s
+            #     — 1.9x the 3-pass physical peak, which settles the r4
+            #     "18% residual" question: stage2's dots partially hide
+            #     under stage-1 VPU time inside the kernel, so the serial
+            #     physics charge (62.7) overstated its wall contribution
+            #     by ~0.28 us/as; the overlap-inclusive measured rate is
+            #     the correct serial-composition charge.
+            #   epilogue 5.57e-12 s/vreg-touch (squares, pre-adds, lane
+            #     concat; residual after charging the one-GEMM projection
+            #     at the 3-pass rate; transfer ratio 0.76)
+            # Full-composition transfer: constants calibrated at 2048/512
+            # predict the 1024/256 config's measured full-kernel time to
+            # 9% (2.736 vs 2.484 us/as) — config-stable at the composed
+            # level even where single deltas are not.
             st1_flops = 2 * (h - 1) * n1 + 2 * nz * n1
-            st1_rate = 8.325e-9 / (2 * 7 * 128 + 2 * 132 * 128)  # s/flop
+            st1_rate = 3.454e-13  # s/flop, measured r5
             touches = ((h + 1) * 4 * k1max + max(h - 1, 0) * 2 * k1max
                        + (h + 1) * 2 * k1max)
             gq = lambda k, nn, cnt: 2.0 * k * nn * cnt / _tile_eff(k, nn) * fps
@@ -346,11 +402,12 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             # The dma+window constant already includes the kernel's own
             # signal DMA, so that stage charges no separate HBM.
             stages = [
-                ("dma+window", 0.0, 0.0, gather_hbm, 6.42e-12 * n * fps),
+                ("dma+window", 0.0, 0.0, gather_hbm, 6.476e-12 * n * fps),
                 ("stage1", 0.0, 0.0, 0.0, st1_rate * st1_flops * fps),
-                ("stage2", sum(gq(*g) for g in gemms[:-1]), 0.0, 0.0, 0.0),
+                ("stage2", sum(gq(*g) for g in gemms[:-1]), 0.0, 0.0,
+                 0.0, 116.9e12),
                 ("epilogue", gq(*gemms[-1]), 0.0, 4 * m * fps,
-                 2.69e-12 * touches * fps),
+                 5.57e-12 * touches * fps),
             ]
         elif _librosa_ct_ok(cfg):
             lowering = "xla-ct"
@@ -374,11 +431,29 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
                 gemms.append((hop, 2 * kmax, n // hop))
             elif _librosa_hoppad_ok(cfg):
                 # hop-padded wall + fused chunk GEMM: ONE K=ceil(n/hop)*hop
-                # dot over a materialized big operand (write + read)
+                # dot; XLA fuses the shifted-slice concat INTO the dot (a
+                # forced-materialization variant measured 27% slower,
+                # exp/hoppad_barrier_ab_r05), so no separate operand pass
                 lowering = "hoppad-wall"
                 rk = -(-n // hop) * hop
                 gemms.append((rk, 2 * kmax, 1))
                 hbm += 2 * 4 * rk * fps
+                # MEASURED stage decomposition (VERDICT r4 #2; constants +
+                # provenance above, exp/hoppad_ablation_r05: pad 0.094 /
+                # fused dot 1.894 / tail 0.341 us/as at 512/160/80,
+                # composing to the measured 2.33 us/as).  The fused dot's
+                # effective rate (~53% of 3-pass) is the price of the
+                # concat-fused framing — the measured-best lowering.
+                gqh = lambda k, nn, cnt: (
+                    2.0 * k * nn * cnt / _tile_eff(k, nn) * fps)
+                stages = [
+                    ("center-pad", 0.0, 0.0, 0.0,
+                     HOPPAD_PAD_S_PER_SAMPLE * sr),
+                    ("fused-dft-gemm", gqh(rk, 2 * kmax, 1), 0.0, 0.0,
+                     0.0, HOPPAD_FUSED_DOT_QRATE),
+                    ("mel-tail", 0.0, 0.0, 0.0,
+                     HOPPAD_TAIL_S_PER_ELEM * (2 * kmax + m) * fps),
+                ]
             else:
                 # gather framing (frames write+read; the gather's own cost
                 # is not modeled — this bound is optimistic)
@@ -390,6 +465,10 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             gemms.append((m, c, 1))
             vpu += 8 * m  # power_to_db (log10, clamp)
             hbm += 2 * 4 * m * fps + 4 * c * fps
+            if stages is not None and lowering == "hoppad-wall":
+                stages.append((
+                    "dct", 2.0 * m * c / _tile_eff(m, c) * fps,
+                    8 * m * fps, 2 * 4 * m * fps + 4 * c * fps))
     else:
         raise ValueError(f"unknown feature {feature!r}")
 
@@ -438,6 +517,13 @@ def speed_of_light(cfg: FeatureConfig, feature: str = "mfcc",
     costs = pipeline_costs(cfg, feature)
     spec = chip_spec(device_kind) if spec is None else spec
     passes = PRECISION_PASSES.get(getattr(cfg, "precision", "highest"), 6)
+    if costs["lowering"] == "pallas-ct" and passes > 3:
+        # the CT kernel hard-codes Mosaic HIGHEST (~3-pass f32) for its
+        # dots regardless of cfg.precision (ops/pallas/ct_mel.py header),
+        # so strict mode does NOT halve its MXU rate — charging 6 passes
+        # made measured beat 'expected' by 13% (VERDICT r4 weak #1; the
+        # measured strict and default lines are equal to ~0.2%)
+        passes = 3
     mxu_peak = spec["bf16_tflops"] * 1e12 / passes
     vpu_peak = spec["vpu_tflops"] * 1e12
     hbm_peak = spec["hbm_gbs"] * 1e9
@@ -451,7 +537,10 @@ def speed_of_light(cfg: FeatureConfig, feature: str = "mfcc",
         for st in costs["stages"]:
             _, mq, v, h = st[:4]
             measured = st[4] if len(st) > 4 else 0.0
-            t_exp += max(mq / mxu_peak, v / vpu_peak, h / hbm_peak) + measured
+            # optional 6th element: measured effective dot rate for this
+            # stage's shape (MEASURED_DOT_QRATE / per-lowering constants)
+            rate = (st[5] if len(st) > 5 and st[5] else mxu_peak)
+            t_exp += max(mq / rate, v / vpu_peak, h / hbm_peak) + measured
     else:
         t_exp = max(t_mxu_q, t_vpu, t_hbm)
     return {
@@ -466,4 +555,15 @@ def speed_of_light(cfg: FeatureConfig, feature: str = "mfcc",
         "bandwidth_bound_audio_s_per_s": 1.0 / t_hbm if t_hbm else float("inf"),
         "speed_of_light_audio_s_per_s": sol,
         "expected_audio_s_per_s": 1.0 / t_exp,
+        # "measured-calibrated": the stage composition carries measured
+        # per-unit constants (provenance in pipeline_costs) — at their
+        # calibration configs the fraction sits at ~1.0 by construction
+        # (+-~5% tunnel/process variance); the model's predictive content
+        # is cross-config transfer, tested in exp/ct_transfer_r05.
+        "expected_basis": (
+            "measured-calibrated" if costs.get("stages") and any(
+                (len(st) > 4 and st[4]) or (len(st) > 5 and st[5])
+                for st in costs["stages"]
+            ) else "physics"
+        ),
     }
