@@ -295,18 +295,18 @@ class CorpusRunner:
             raise ValueError("wire_dtype requires packed_output=True")
         # pool_growth=None (default): batches pool per (rate, length
         # bucket) on the fine default grid — a 1 s clip never pads to a
-        # 35 s neighbor.  Right for locally-attached chips.  A float
-        # (e.g. 2.5) pools on a COARSER geometric band grid; each batch
-        # still dispatches at the fine bucket of its own longest clip.
-        # Right for remote-attached chips, where every dispatch+fetch
-        # pays a fixed ~50 ms round trip that dominates the wall
-        # (measured r4: 13 calls x 52 ms = half the corpus wall with the
-        # fine grid).  Coarse banding amortizes those fixed costs while
-        # bounding the padding amplification of the on-device unpack
-        # gather — a SINGLE mixed-length pool was measured slower (896 vs
-        # 1179 audio-s/s): padding is free on the wire (packed transfers
-        # both ways) but the (B, T) rebuild gather costs per PADDED
-        # element, and a 1 s clip in a 35 s batch gathers 35x its samples.
+        # 35 s neighbor.  A float (e.g. 2.5) pools on a COARSER geometric
+        # band grid; each batch still dispatches at the fine bucket of its
+        # own longest clip.  The r4 rationale for coarse banding (a fixed
+        # round trip per dispatch) was corrected by the r5 span trace:
+        # device_put is asynchronous, so dispatches pay NO serial fixed
+        # cost — only FETCH groups do, and fetch_every already amortizes
+        # those.  The knob remains for links where puts genuinely block.
+        # A SINGLE mixed-length pool was measured slower either way (896
+        # vs 1179 audio-s/s): padding is free on the wire (packed
+        # transfers both ways) but the (B, T) rebuild gather costs per
+        # PADDED element — a 1 s clip in a 35 s batch gathers 35x its
+        # samples.
         self.pool_growth = pool_growth
 
     # ------------------------------------------------------------------ run --
