@@ -124,3 +124,40 @@ def test_profiler_trace_smoke(tmp_path):
         with annotate("stage"):
             jnp.ones(8).sum().block_until_ready()
     assert any((tmp_path / "tr").rglob("*"))  # trace artifacts written
+
+
+def test_profiling_measured_calibration_r5():
+    """r5 model pins: the vorbis cost model mirrors _chunk_gemm's fusion
+    rule; the hoppad-wall lowering carries a measured stage decomposition;
+    the pallas-ct expected rate is invariant to cfg.precision (the kernel
+    hard-codes Mosaic HIGHEST); expected_basis tags which lines are
+    measured-calibrated."""
+    from mfcc_rust_tpu import librosa_config, vorbis_config
+    from mfcc_rust_tpu.utils.profiling import pipeline_costs, speed_of_light
+
+    # vorbis 16 kHz: hop 320 is 128-misaligned -> ONE fused K=640 dot
+    vcosts = pipeline_costs(vorbis_config(16000), "melspec")
+    assert vcosts["lowering"] == "vorbis-chunk-gemm-fused"
+    (k0, _, r0), *_ = vcosts["gemms_per_frame"]
+    assert r0 == 1 and k0 % 128 == 0  # tile-exact fused contraction
+
+    # hoppad-wall production config: measured stage model present
+    pcfg = librosa_config(16000, n_fft=512, hop_length=160, n_mels=80)
+    pcosts = pipeline_costs(pcfg, "mel_librosa")
+    assert pcosts["lowering"] == "hoppad-wall"
+    names = [st[0] for st in pcosts["stages"]]
+    assert names == ["center-pad", "fused-dft-gemm", "mel-tail"]
+    psol = speed_of_light(pcfg, "mel_librosa", device_kind="v5e")
+    assert psol["expected_basis"] == "measured-calibrated"
+    # the mfcc tail adds a dct stage to the same decomposition
+    mcosts = pipeline_costs(pcfg, "mfcc_librosa")
+    assert [st[0] for st in mcosts["stages"]][-1] == "dct"
+
+    # pallas-ct: strict mode must not change the expected rate
+    lcfg = librosa_config(22050, pallas="force")
+    base = speed_of_light(lcfg, "mel_librosa", device_kind="v5e")
+    strict = speed_of_light(lcfg.replace(precision="highest"),
+                            "mel_librosa", device_kind="v5e")
+    assert base["lowering"] == "pallas-ct"
+    assert strict["expected_audio_s_per_s"] == base["expected_audio_s_per_s"]
+    assert base["expected_basis"] == "measured-calibrated"
