@@ -36,12 +36,10 @@ from mfcc_rust_tpu import features, librosa_config  # noqa: E402
 from mfcc_rust_tpu.constants import constant_bundle  # noqa: E402
 
 
-def main():
+def run_config(cfg, b, t, tag):
     import jax.numpy as jnp
 
-    cfg = librosa_config(16000, n_fft=512, hop_length=160, n_mels=80)
-    b, t = 64, 160000
-    audio_s = b * 10.0
+    audio_s = b * t / cfg.sample_rate
     rng = np.random.default_rng(0)
 
     n, hop = cfg.fft_points, cfg.frame_step
@@ -54,8 +52,8 @@ def main():
     wall_pad = np.zeros((r * hop, wall.shape[1]), dtype=np.float32)
     wall_pad[:fl] = wall
     fb2 = features._stacked_fb(bundle["fbank"], kmax, 2 * kmax)
-    print(f"config 512/160/80: kmax={kmax} r={r} K={r*hop} "
-          f"N={wall.shape[1]}", flush=True)
+    print(f"[{tag}] kmax={kmax} r={r} K={r*hop} N={wall.shape[1]}",
+          flush=True)
 
     def pipeline(x, upto):
         pad = [(0, 0)] * (x.ndim - 1) + [(n // 2, n // 2)]
@@ -141,12 +139,29 @@ def main():
         print(f"  {st:5s}: +{d:8.3f}", flush=True)
         prev = results[st]
     fps = cfg.sample_rate / hop
-    print(f"\nper-unit rates @ fps={fps}:")
-    print(f"  materialize: {(results['mat']-results['pad'])/ (r*hop*4*fps):.3e}"
-          " s/byte-written" )
-    gq = 2.0 * r * hop * 640 * fps  # K=640 exact, N=514 -> 640 pad
-    print(f"  dft-gemm: {(results['gemm']-results['mat'])/gq:.3e} s/qflop "
-          f"(= {gq/(results['gemm']-results['mat'])/1e12:.1f} q-TFLOP/s)")
+    up = lambda x: -(-x // 128) * 128
+    pad_rate = results["pad"] / cfg.sample_rate
+    gq = 2.0 * up(r * hop) * up(wall.shape[1]) * fps
+    dot_s = results["gemm"] - results["pad"]  # fused dot incl. framing
+    dot_rate = gq / dot_s
+    tail_s = results["mel"] - results["gemm"]
+    tail_rate = tail_s / ((wall.shape[1] + cfg.num_filters) * fps)
+    print(f"[{tag}] per-unit: pad {pad_rate:.3e} s/sample | fused-dot "
+          f"{dot_rate/1e12:.1f} q-TFLOP/s | tail {tail_rate:.3e} s/elem",
+          flush=True)
+    return {"pad": pad_rate, "dot": dot_rate, "tail": tail_rate}
+
+
+def main():
+    cal = run_config(
+        librosa_config(16000, n_fft=512, hop_length=160, n_mels=80),
+        64, 160000, "512/160/80 cal")
+    alt = run_config(
+        librosa_config(16000, n_fft=768, hop_length=160, n_mels=80),
+        64, 160000, "768/160/80 alt")
+    print("\ntransfer ratios (alt/cal):", flush=True)
+    for k in ("pad", "dot", "tail"):
+        print(f"  {k}: {alt[k]/cal[k]:.3f}", flush=True)
 
 
 if __name__ == "__main__":

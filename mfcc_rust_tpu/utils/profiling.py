@@ -176,11 +176,20 @@ MEASURED_DOT_QRATE = {
 # MEASURED stage constants for the hoppad-wall librosa lowering (512/160/80
 # @16 kHz, B=64), from the cumulative on-chip ablation
 # exp/hoppad_ablation_r05_results.txt (inline pipeline bitwise-equal to the
-# shipped one).  The fused concat-into-dot IS the best available lowering:
-# forcing a materialized operand + clean tile-exact dot with an
-# optimization_barrier measured 27% SLOWER end-to-end
-# (exp/hoppad_barrier_ab_r05_results.txt: 313k vs 428k), so the fused dot's
-# ~53%-of-3-pass effective rate below is the achievable rate, not a gap.
+# shipped one; re-measured within 7% in a second process, r05b).  The fused
+# concat-into-dot IS the best available lowering: forcing a materialized
+# operand + clean tile-exact dot with an optimization_barrier measured 27%
+# SLOWER end-to-end (exp/hoppad_barrier_ab_r05_results.txt: 313k vs 428k),
+# and a strided-conv emitter lowering measured ~3x slower
+# (exp/conv_frontend_ab_r05) — so the fused dot's ~53%-of-3-pass effective
+# rate below is the achievable rate, not a gap.
+# Config transfer (exp/hoppad_ablation_r05b, second config 768/160/80 in
+# the same process): pad transfers at ratio 0.995; the fused-dot q-rate
+# within +31% (768 runs FASTER per padded q-flop, so using the cal rate
+# elsewhere under-promises); the tail constant does NOT transfer (3.5x —
+# XLA fuses the y intermediate differently per shape), so for non-512/160
+# hoppad configs the composed expected is an optimistic estimate on the
+# tail term and those lines read low, never >1.
 HOPPAD_PAD_S_PER_SAMPLE = 5.875e-12   # center-pad pass: 0.094 us/as / 16k
 HOPPAD_FUSED_DOT_QRATE = 34.6e12      # K=640 N=512 exact: 1.894 us/as over
 #                                       2*640*512*100 q-flops/as
