@@ -13,13 +13,16 @@ largely cancels in the deltas but is measured separately as a floor):
 
   pad      : center pad only
   mat      : + big-operand materialization (concat of r shifted slices)
-  gemm     : + the K=640 DFT GEMM
+  gemm     : + the K=r*hop DFT GEMM
   mel      : + y*y and the mel projection (no transpose)
   full     : + the output swapaxes (= the shipped pipeline)
 
-Deltas give measured serial per-stage seconds/audio-second that feed the
-calibrated stage model in utils/profiling.py (same pattern as the CT
-kernel's r4b constants).
+CAVEAT on 'mat': it is a DIFFERENT program, not an in-pipeline stage —
+in the 'gemm'/'mel'/'full' programs XLA fuses the concat INTO the dot
+(proved by exp/hoppad_barrier_ab: forcing materialization is slower), so
+the model stage is (gemm - pad), the fused dot including its framing.
+Deltas feed the calibrated stage model in utils/profiling.py (same
+pattern as the CT kernel's constants).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python exp/hoppad_ablation.py
 """

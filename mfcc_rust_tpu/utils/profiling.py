@@ -173,6 +173,24 @@ MEASURED_DOT_QRATE = {
     (6, 384, 384): 40.2e12,
 }
 
+# In-pipeline stage calibration for the chunk-gemm-fused speechpy MFCC
+# lowering at its headline config (16 kHz, K 320->384, N 260->384, 40
+# mels, 13 ceps, B=48) — exp/chunk_stage_calib_r05_results.txt.  Three
+# findings: (1) the shipped dot pays a FUSED-FRAMING feed overhead over
+# the isolated-dense-operand dot of 0.312 us/as at 3-pass and 0.341 at
+# 6-pass — nearly precision-INDEPENDENT, i.e. operand-feed time (the
+# concat-fused shifted slices), not compute; charged per operand byte
+# (128 KB/audio-s at this config).  (2) the real measured tail
+# (parseval + projection + log + DCT) is 0.118 / 0.172 us/as — the
+# physics tail charge (0.28 / 0.48) overcharged it ~2.8x, which is why
+# the r4/r5a strict line looked ~1.0: undercharged dot and overcharged
+# tail cancelled.  (3) with both stages at their measured in-pipeline
+# values the composition closes to the measured total by construction
+# at this config (fraction ~1.0 +-~5% process variance — see
+# expected_basis annotation).
+CHUNK_FUSED_FRAMING_S_PER_BYTE = 2.55e-12  # 0.326 us/as over r*hop*4*fps
+CHUNK_FUSED_TAIL_S = {3: 0.118e-6, 6: 0.172e-6}  # mfcc head, cal config
+
 # MEASURED stage constants for the hoppad-wall librosa lowering (512/160/80
 # @16 kHz, B=64), from the cumulative on-chip ablation
 # exp/hoppad_ablation_r05_results.txt (inline pipeline bitwise-equal to the
@@ -287,6 +305,22 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             if need_energy:
                 stages.insert(1, ("parseval", 0.0, pars_vpu * fps,
                                   sr * 4 + 4 * fps))
+            # calibration-config override (r5, exp/chunk_stage_calib):
+            # at the headline speechpy MFCC shape the framing feed and
+            # the tail are measured in-pipeline; elsewhere the physics
+            # stages above apply (they read conservative: the physics
+            # tail overcharges ~2.8x at the cal config)
+            if (lowering == "chunk-gemm-fused" and feature == "mfcc"
+                    and dot_rate is not None and sr == 16000
+                    and hop == 160 and w == 260 and m == 40 and c == 13):
+                framing = CHUNK_FUSED_FRAMING_S_PER_BYTE * (
+                    wd["r"] * hop * 4 * fps)
+                stages = [
+                    ("dft-dot", gq(*gemms[0]), 0.0, 0.0, 0.0, dot_rate),
+                    ("fused-framing-feed", 0.0, 0.0, 0.0, framing),
+                    ("tail+parseval", 0.0, 0.0, 0.0,
+                     CHUNK_FUSED_TAIL_S[passes]),
+                ]
         else:
             lowering = "framed-generic"
             k = cfg.freq_size
