@@ -369,6 +369,17 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
             ("mel-tail", gq(*gemms[1]), w * fps,
              4 * (w + m) * fps + 4 * m * fps),
         ]
+        # calibration-config override (r5, exp/expected_calib_r05): the
+        # 16 kHz vorbis lowering's stages measured IN-PIPELINE — y
+        # (fused dot incl. framing) 0.4458 us/as = 55.1e12 q-flops/s on
+        # the padded basis, mel tail 0.053 us/as; elsewhere the physics
+        # stages above apply
+        if (lowering == "vorbis-chunk-gemm-fused" and sr == 16000
+                and hop == 320 and w == 258):
+            stages = [
+                ("fused-dft-gemm", gq(*gemms[0]), 0.0, 0.0, 0.0, 55.1e12),
+                ("mel-tail", 0.0, 0.0, 0.0, 0.053e-6),
+            ]
 
     elif feature in ("mel_librosa", "mfcc_librosa"):
         from ..features import _librosa_ct_ok, _librosa_pallas_ok
