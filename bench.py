@@ -300,8 +300,17 @@ def suite():
         ),
         b3 * 10.0,
     )
+    # the multi line gets the roofline BOUND but no 'expected': its stage
+    # constants would mix two calibration batches (B=48 frontend, B=32
+    # heads, exp/multi_tail_calib_r05) and the cross-process composition
+    # reads 1.02-1.07 — beyond the +-5% a measured-closed line may claim.
+    # The per-head calibrated lines carry the expected-rate story.
+    sol_multi = _sol(cfg, ("mfcc", "lmfe", "mfe", "ssc"))
+    if sol_multi:
+        sol_multi = dict(sol_multi)
+        sol_multi.pop("expected_audio_s_per_s", None)
     _emit("audio_seconds_per_sec_per_chip (full suite: mfe+lmfe+ssc+mfcc)",
-          v, spread=s)
+          v, spread=s, sol=sol_multi)
 
     # config 4: ragged utterances (1-35 s), bucketed: measure at the 2
     # dominant buckets and report audio-weighted throughput

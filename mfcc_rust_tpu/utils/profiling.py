@@ -224,13 +224,83 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
     factorization), so the model cannot drift from the code.
 
     ``feature``: "mfcc" | "mfe" | "lmfe" | "ssc" | "melspec" (vorbis) |
-    "mel_librosa" | "mfcc_librosa".
+    "mel_librosa" | "mfcc_librosa" | a tuple of framed-family names (the
+    single-frontend multi-feature ``features.extract`` pass).
     """
     import numpy as np
 
     sr = cfg.sample_rate
     m = cfg.num_filters
     c = cfg.num_cepstral
+
+    if isinstance(feature, (tuple, list)):
+        # multi-feature extract: ONE frontend pass (the mfcc cost model's
+        # stage A + parseval) feeds every head; heads add their own
+        # projections/VPU/outputs on top of the shared y intermediate
+        # (features._extract_heads).  Modeled as the mfcc single-feature
+        # costs plus head increments — all physics (no measured tail
+        # constant applies to the multi-head epilogue).
+        want = set(feature)
+        base = pipeline_costs(cfg, "mfcc" if "mfcc" in want else "mfe")
+        if base["lowering"] not in ("chunk-gemm", "chunk-gemm-fused"):
+            return dict(base, lowering=base["lowering"] + "-multi")
+        from ..constants import chunk_gemm_wall, constant_bundle
+
+        wd = chunk_gemm_wall(cfg, True)
+        kmax = wd["kmax"]
+        w = wd["wall"].shape[1]
+        hop = cfg.frame_step
+        fps = sr / hop
+        gemms = list(base["gemms_per_frame"])
+        extra_g, extra_vpu, extra_hbm = [], 0.0, 0.0
+        if "ssc" in want:
+            extra_g.append((kmax, 2 * m, 1))  # dual ramp projection
+            extra_vpu += 5 * kmax + m  # power, eps select, divide
+            extra_hbm += 4 * (2 * kmax + m) * fps  # y re-read + ssc write
+        for name in want & {"lmfe", "mfe"}:
+            extra_hbm += 4 * m * fps  # extra head output write
+        if "mfe" in want:
+            extra_hbm += 4 * fps  # energies vector
+        gemms += extra_g
+        up = lambda k, nn: 2.0 * k * nn / _tile_eff(k, nn) * fps
+        mxu_q = base["mxu_flops_per_audio_second_tile_quantized"] + sum(
+            up(k, nn) * cnt for k, nn, cnt in extra_g
+        )
+        mxu = base["mxu_flops_per_audio_second"] + sum(
+            2.0 * k * nn * cnt for k, nn, cnt in extra_g
+        ) * fps
+        vpu_as = base["vpu_flops_per_audio_second"] + extra_vpu * fps
+        hbm = base["hbm_bytes_per_audio_second"] + extra_hbm
+        stages = None
+        if base.get("stages"):
+            stages = list(base["stages"]) + [
+                ("extra-heads", sum(up(k, nn) * cnt for k, nn, cnt in extra_g),
+                 extra_vpu * fps, extra_hbm),
+            ]
+            # measured 4-head tail at the suite config (r5,
+            # exp/multi_tail_calib_r05: extract4 - y = 0.292 us/as at
+            # B=32; the physics head model above overcharges — XLA CSEs
+            # y*y between the mel and ssc power paths and fuses the
+            # head epilogues, so the three extra heads cost only
+            # 0.144 us/as over single-feature mfcc)
+            if (stages[0][0] == "dft-dot"
+                    and want == {"mfcc", "lmfe", "mfe", "ssc"}):
+                stages = [stages[0], stages[1],
+                          ("multi-4head-tail", 0.0, 0.0, 0.0, 0.292e-6)]
+        return {
+            "lowering": base["lowering"] + "-multi",
+            "gemms_per_frame": gemms,
+            "frames_per_audio_second": fps,
+            "mxu_flops_per_audio_second": mxu,
+            "mxu_flops_per_audio_second_tile_quantized": mxu_q,
+            "vpu_flops_per_audio_second": vpu_as,
+            "hbm_bytes_per_audio_second": hbm,
+            "stages": stages,
+            "flops_per_audio_second": mxu + vpu_as,
+            "min_hbm_bytes_per_audio_second": hbm,
+            "arithmetic_intensity_fused": (mxu + vpu_as) / hbm,
+        }
+
     gemms = []  # (k, n, count_per_frame)
     vpu = 0.0  # FLOPs per frame
     lowering = None

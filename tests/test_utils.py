@@ -161,3 +161,28 @@ def test_profiling_measured_calibration_r5():
     assert base["lowering"] == "pallas-ct"
     assert strict["expected_audio_s_per_s"] == base["expected_audio_s_per_s"]
     assert base["expected_basis"] == "measured-calibrated"
+
+
+def test_profiling_multi_feature_costs():
+    """The multi-feature extract pass has a cost model: one shared
+    frontend + head increments; the 4-head suite set carries the measured
+    tail constant (r5, exp/multi_tail_calib)."""
+    from mfcc_rust_tpu import FeatureConfig
+    from mfcc_rust_tpu.utils.profiling import pipeline_costs, speed_of_light
+
+    cfg = FeatureConfig(sample_rate=16000)
+    heads = ("mfcc", "lmfe", "mfe", "ssc")
+    costs = pipeline_costs(cfg, heads)
+    assert costs["lowering"] == "chunk-gemm-fused-multi"
+    single = pipeline_costs(cfg, "mfcc")
+    # the multi pass costs strictly more than single-feature mfcc, but
+    # shares the frontend (far less than 4x)
+    assert (single["mxu_flops_per_audio_second"]
+            < costs["mxu_flops_per_audio_second"]
+            < 2 * single["mxu_flops_per_audio_second"])
+    assert [st[0] for st in costs["stages"]][-1] == "multi-4head-tail"
+    s = speed_of_light(cfg, heads, device_kind="v5e")
+    assert s["expected_basis"] == "measured-calibrated"
+    # a different head subset falls back to the physics heads stage
+    costs2 = pipeline_costs(cfg, ("mfcc", "ssc"))
+    assert [st[0] for st in costs2["stages"]][-1] == "extra-heads"
