@@ -227,8 +227,6 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
     "mel_librosa" | "mfcc_librosa" | a tuple of framed-family names (the
     single-frontend multi-feature ``features.extract`` pass).
     """
-    import numpy as np
-
     sr = cfg.sample_rate
     m = cfg.num_filters
     c = cfg.num_cepstral
@@ -244,7 +242,7 @@ def pipeline_costs(cfg: FeatureConfig, feature: str = "mfcc") -> dict:
         base = pipeline_costs(cfg, "mfcc" if "mfcc" in want else "mfe")
         if base["lowering"] not in ("chunk-gemm", "chunk-gemm-fused"):
             return dict(base, lowering=base["lowering"] + "-multi")
-        from ..constants import chunk_gemm_wall, constant_bundle
+        from ..constants import chunk_gemm_wall
 
         wd = chunk_gemm_wall(cfg, True)
         kmax = wd["kmax"]
